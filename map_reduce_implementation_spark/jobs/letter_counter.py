@@ -1,0 +1,89 @@
+"""Letter counter — parity with the reference's ``counter`` job.
+
+Reference semantics (usr_functions.c:19-109): per split, count occurrences
+of each ASCII letter case-folded to upper (isalpha → toupper, ASCII only);
+a single reducer sums partial counts and emits ALL 26 letters A..Z in
+order, including zero counts (usr_functions.c:46-54, 102-106).
+
+Spark-first design
+------------------
+``read.text → upper → strip non-letters → split to chars → explode →
+groupBy(letter).count → right-join 26-letter literal domain (zero-fill) →
+orderBy(letter)``.
+
+Scale notes (100 TB):
+- The explode produces one row per letter-char, but Spark's
+  HashAggregateExec runs in partial mode *before* the exchange, so the
+  shuffle carries at most ``26 × num_partitions`` rows regardless of input
+  size — the same partial/final two-phase shape as the reference's
+  combiner (usr_functions.c:37-54 → 73-108), minus its sequential maps.
+- The 26-row domain join is a broadcast join (trivially small build side).
+- No Python UDFs anywhere: the whole plan is JVM whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["letter_counter", "letter_counts_of", "letter_domain"]
+
+
+def letter_domain(spark: SparkSession) -> DataFrame:
+    """The 26-row A..Z literal frame (dense key domain, usr_functions.c:37)."""
+    return spark.range(26).select(F.expr("char(id + 65)").alias("letter"))
+
+
+def letter_counts_of(df: DataFrame, text_col: str = "value") -> DataFrame:
+    """Count ASCII letters (upper-cased) in ``df[text_col]``.
+
+    Returns DataFrame[letter: string, cnt: bigint] — only letters that
+    occur; use :func:`letter_counter` for the zero-filled 26-row parity
+    output.
+    """
+    chars = df.select(
+        F.explode(
+            F.split(F.upper(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")), "")
+        ).alias("letter")
+    ).filter(F.col("letter") != "")
+    return chars.groupBy("letter").agg(F.count("*").alias("cnt"))
+
+
+def letter_counter(
+    spark: SparkSession,
+    df_or_path: DataFrame | str,
+    text_col: str = "value",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Full parity job: 26 rows, A..Z order, zeros included.
+
+    ``df_or_path`` may be a text-file path (reference CLI mode,
+    mapreduce.h:16) or any DataFrame with a string column ``text_col``.
+    ``min_partitions`` mirrors the reference's ``split_num``
+    (mapreduce.h:17) — in Spark it only hints the scan parallelism; the
+    result is split-invariant (verified in tests, as in the reference).
+    """
+    if isinstance(df_or_path, str):
+        df = read_lines(spark, df_or_path, min_partitions)
+    else:
+        df = df_or_path
+    counts = letter_counts_of(df, text_col)
+    domain = letter_domain(spark)
+    return (
+        domain.join(F.broadcast(counts), "letter", "left")
+        .select("letter", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .orderBy("letter")
+    )
+
+
+def read_lines(spark: SparkSession, path: str, min_partitions: int | None = None) -> DataFrame:
+    """Splittable line-aligned text scan (reference mapreduce.c:56-93).
+
+    Spark's text FileScan performs the identical newline-boundary split
+    adjustment (Hadoop LineRecordReader semantics), so no custom code is
+    needed; ``min_partitions`` maps the reference's split_num.
+    """
+    if min_partitions:
+        rdd = spark.sparkContext.textFile(path, minPartitions=min_partitions)
+        return spark.createDataFrame(rdd.map(lambda line: (line,)), "value: string")
+    return spark.read.text(path)

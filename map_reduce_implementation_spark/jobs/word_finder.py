@@ -1,0 +1,60 @@
+"""Word finder — parity with the reference's ``finder`` job.
+
+Reference semantics (usr_functions.c:119-191): emit each input line that
+contains ``word`` case-sensitively as a whole word, where a boundary is
+start/end-of-line or any character outside ``[0-9A-Za-z]``. NOTE this is
+**not** regex ``\\b``: C ``isalnum('_')`` is false (usr_functions.c:168-169),
+so underscore IS a boundary here. Each matching line is emitted exactly
+once regardless of match count (usr_functions.c:171,176).
+
+Spark-first design: a single ``filter(rlike(...))`` over the text scan —
+no shuffle at all; the predicate runs inside whole-stage codegen on each
+input partition. At 100 TB this is a pure embarrassingly-parallel scan;
+the filter is evaluated post-scan (text source has no predicate pushdown
+below the line level, same as any engine).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["word_finder", "whole_word_pattern"]
+
+_JAVA_REGEX_SPECIALS = set("\\^$.|?*+()[]{}")
+
+
+def _escape_java_regex(word: str) -> str:
+    """Escape a literal for java.util.regex (explicit, no \\Q..\\E so the
+    same pattern string also works under RE2-style engines)."""
+    return "".join(("\\" + ch) if ch in _JAVA_REGEX_SPECIALS else ch for ch in word)
+
+
+def whole_word_pattern(word: str) -> str:
+    """The reference's boundary rule as a regex: line-edge or non-[0-9A-Za-z]
+    on both sides (usr_functions.c:164-174). Deliberately NOT ``\\b``."""
+    w = _escape_java_regex(word)
+    return f"(^|[^0-9A-Za-z]){w}([^0-9A-Za-z]|$)"
+
+
+def word_finder(
+    spark: SparkSession,
+    df_or_path: DataFrame | str,
+    word: str,
+    text_col: str = "value",
+) -> DataFrame:
+    """Filter lines containing ``word`` as a whole word (case-sensitive)."""
+    if isinstance(df_or_path, str):
+        df = spark.read.text(df_or_path)
+    else:
+        df = df_or_path
+    return df.filter(F.col(text_col).rlike(whole_word_pattern(word)))
+
+
+def word_finder_python(lines: list[str], word: str) -> list[str]:
+    """Pure-Python oracle of the reference boundary rule, for property tests
+    (mirrors usr_functions.c:153-187 scan loop)."""
+    pat = re.compile(f"(^|[^0-9A-Za-z]){re.escape(word)}([^0-9A-Za-z]|$)")
+    return [ln for ln in lines if pat.search(ln)]
