@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (the reference's letter counter,
+Catalyst-planned) on sf0.001. ``queries()``/``oracle_sql()`` — the full
+operator suite from map_reduce_implementation_spark.suite; every
+SQL-expressible operator carries a DuckDB oracle twin. Non-SQL ops
+(minhash-LSH, simhash, ANN-LSH, mapInPandas decode) are rows-only by
+design and cross-checked in tests/ instead.
 """
 
 from __future__ import annotations
@@ -13,26 +14,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from map_reduce_implementation_spark.suite import all_queries
+
+_SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: reference letter-counter over documents.text (26 rows,
+    A..Z, zero-filled — SURVEY.md §2.4 A1/A2 pipeline, Spark-native)."""
+    qs = all_queries()
+    return qs["letter_counter"].build(spark, _SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.build for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: q.oracle for name, q in all_queries().items() if q.oracle is not None
+    }

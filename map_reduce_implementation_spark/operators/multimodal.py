@@ -1,0 +1,100 @@
+"""Multimodal column handling — opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: store the payload as a
+``binary`` column (or a reference to object storage) next to typed
+metadata; run decode / feature-extraction as Arrow-batched Pandas UDFs
+via ``mapInPandas`` so each task streams record batches without
+row-at-a-time Python overhead.
+
+The actual codec libraries (Pillow/ffmpeg/torchaudio) are NOT in this
+container, so the decode kernel is a clearly-marked deterministic fake
+behind ``decode_stub`` — the Spark-side plumbing (schema, batch iteration,
+partitioning) is real and tested. Swap ``_fake_decode`` for a real codec
+in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary column (here: utf-8 payload of the
+    text — a stand-in for image/audio bytes) plus typed metadata."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.octet_length(F.col(text_col)).alias("byte_len"),
+        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for an image decode. A real implementation
+    would call PIL.Image.open / cv2.imdecode here.
+
+    Derives (width, height, channels, mean_intensity) purely from the
+    bytes so tests are reproducible without codec libraries.
+    """
+    n = len(payload)
+    width = 16 + n % 64
+    height = 16 + (n // 64) % 64
+    mean = (sum(payload[:256]) / min(n, 256)) if n else 0.0
+    return width, height, 3, float(mean)
+
+
+def decode_stub(df_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched 'decode' over the binary column via mapInPandas.
+
+    Real decode path: replace ``_fake_decode``. The plumbing —
+    per-batch pandas iteration, explicit output schema, no driver
+    collect — is the production shape.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_channels": [d[2] for d in decoded],
+                    "mean_intensity": [d[3] for d in decoded],
+                }
+            )
+
+    return df_with_payload.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def frame_sample_stub(df_with_payload: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Video-style frame sampling stand-in: emit one row per sampled
+    'frame' offset (posexplode of byte offsets). Real path: ffmpeg
+    keyframe extraction inside mapInPandas with the same output shape."""
+    return df_with_payload.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.octet_length("payload").cast("int") - 1, F.lit(0)),
+                F.lit(every_n_bytes),
+            )
+        ).alias("frame_idx", "byte_offset"),
+    )

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Tiers (BASELINE.json north-star):
+
+- **Brute-force cosine top-k** — the exact baseline. The dot product is
+  a JVM-side ``zip_with``/``aggregate`` fold over doubles; the query
+  vector is a literal array (broadcast as part of the plan — no join).
+  At 100 TB this is one scan, no shuffle except the final top-k
+  (TakeOrderedAndProject: per-partition heaps, driver merge).
+- **LSH-bucketed ANN** — random-hyperplane signs → bucket; only
+  same-bucket candidates are scored. Hyperplanes are seeded numpy
+  constants folded into the plan as literals.
+- **IVF-style ANN** — coarse centroids (seeded subsample average) →
+  assign each vector to nearest centroid (one broadcast join), probe
+  only the query's nearest ``nprobe`` cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order → oracle-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lit_vector(vec: list[float]) -> Column:
+    """A query vector as a plan literal (no join, shipped with the task)."""
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    Returns DataFrame[id_col, sim] — sim rounded to 9 dp so the
+    sequential fold here and any oracle's fold agree to the hash.
+    """
+    v = _as_double(vec_col)
+    q = _as_double(lit_vector(query_vec))
+    df = embeddings.select(
+        F.col(id_col), F.round(cosine(v, q), 9).alias("sim")
+    )
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    return df.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold, optionally blocked on a key
+    (e.g. a label or an LSH bucket) so the join is never a full cross
+    product. Returns DataFrame[id1, id2, sim]."""
+    x = embeddings.select(
+        F.col(id_col).alias("id1"),
+        _as_double(vec_col).alias("v1"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    y = embeddings.select(
+        F.col(id_col).alias("id2"),
+        _as_double(vec_col).alias("v2"),
+        *([F.col(block_col).alias("blk2")] if block_col else []),
+    )
+    cond = F.col("id1") < F.col("id2")
+    if block_col:
+        cond = cond & (F.col("blk") == F.col("blk2"))
+    return (
+        x.join(y, cond)
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine(F.col("v1"), F.col("v2")), 9).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def lsh_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id from ``n_planes`` random hyperplanes (int)."""
+    v = _as_double(vec_col)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        s = dot(v, lit_vector(list(plane)))
+        bucket = bucket + F.when(s >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    At 100 TB: the bucket column is computed once at ingest (or by this
+    scan), and the filter prunes ~2^-n_planes of the data before any
+    scoring. Recall is tested against brute force in tests.
+    """
+    dim = len(query_vec)
+    planes = lsh_hyperplanes(dim, n_planes, seed)
+    qbits = sum(
+        (1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) >= 0
+    )
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    v = _as_double(vec_col)
+    q = _as_double(lit_vector(query_vec))
+    return (
+        bucketed.filter(F.col("bucket") == qbits)
+        .select(F.col(id_col), F.round(cosine(v, q), 9).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

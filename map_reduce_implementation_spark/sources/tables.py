@@ -1,0 +1,87 @@
+"""Table sources over the TESTDATA star schema (TESTDATA.md).
+
+The reference supports exactly one source — a splittable local text file
+(mapreduce.c:19-30; see jobs.letter_counter.read_lines). The engine adds
+the full Spark source surface: parquet (primary), csv, json, orc, text.
+
+Scale notes (100 TB):
+- Parquet scans get predicate pushdown + column pruning from Catalyst
+  for free — verified in plans/audit.py (``PushedFilters``/``ReadSchema``).
+- ``spark.sql.files.maxPartitionBytes`` (default 128 MB) governs scan
+  parallelism; at 100 TB that is ~800k tasks — AQE coalesces after
+  filters. No per-table tuning is hard-coded here on purpose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one star-schema table (parquet, columnar, splittable)."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which the
+    Spark 4 parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read
+    nanos as raw long via the legacy conf, then truncate to microsecond
+    timestamps — the same truncation DuckDB applies, so oracle-equal."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer DIV, not `/`: double division loses precision at 1e18 ns
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL surface."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text source (the reference's only source, S1/S2)."""
+    return spark.read.text(path)
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(header="true", inferSchema="true", **options).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).json(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Parquet sink. ``partition_by`` → hive-style partition pruning on read."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_single_text_file(df: DataFrame, path: str) -> None:
+    """Reference-parity sink: ONE text file like mr.rst (mapreduce.c:153-157).
+
+    ``coalesce(1)`` — only for small final results; never on 100 TB paths.
+    """
+    df.coalesce(1).write.mode("overwrite").text(path)

@@ -1,0 +1,130 @@
+"""Deduplication operator suite (BASELINE.json north-star).
+
+Four tiers, each with the 100 TB strategy stated:
+
+- **exact** — hash-groupBy on a content hash. One shuffle keyed by the
+  hash; perfectly scalable (the hash is uniform → no skew).
+- **ngram-jaccard** — shingle → inverted-index self-join → per-pair
+  intersection counts. The join key is the shingle: at scale, drop
+  ultra-frequent shingles (stop-shingles) to kill skew; here the corpus
+  is small enough to keep all.
+- **MinHash + LSH** — signature → band → bucket-join. Only candidate
+  pairs sharing an LSH bucket are verified; cost O(n·bands) not O(n²).
+  Spark-only (murmur3 F.hash signatures) → rows-only oracle check.
+- **SimHash** — 64-bit fingerprint via sign-aggregated token hashes;
+  near-dups differ in few bits. Spark-only → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_lsh_pairs, simhash
+from ..sources import table
+from .base import Query
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: group by md5(text); keeper = min(doc_id) (deterministic,
+    unlike dropDuplicates' arbitrary row pick)."""
+    d = table(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingles(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document — the inverted-index
+    build side shared by jaccard and minhash dedup."""
+    d = table(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+    # sliding word n-grams via transform over token positions
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda _, i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs (J >= 0.5) via shingle self-join:
+    shuffle keyed on the shingle (inverted index), pair counts by
+    (d1, d2), exact Jaccard from |A|, |B|, |A∩B|."""
+    sh = _shingles(spark, sf, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, range(1, 100000) r(i)
+  WHERE i + 2 <= len(ts)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(128 perms) + LSH(32 bands × 4 rows) candidate pairs with
+    exact-Jaccard verification >= 0.5. Spark murmur3 signatures → no SQL
+    oracle (rows-only check); correctness is tested against the exact
+    jaccard query in tests/test_dedup.py."""
+    sh = _shingles(spark, sf, 3)
+    return minhash_lsh_pairs(sh, num_perm=128, bands=32, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash per document + hamming-adjacent pair candidates.
+    Spark-only (murmur3) → rows-only check."""
+    d = table(spark, sf, "documents")
+    return simhash(d, text_col="text", id_col="doc_id")
+
+
+QUERIES: dict[str, Query] = {
+    "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None),
+    "dedup_simhash": Query(q_dedup_simhash, None),
+}

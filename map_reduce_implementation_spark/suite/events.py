@@ -1,0 +1,149 @@
+"""Event-stream operator suite — batch twins of the streaming surface
+(SURVEY.md §2.9; EXT — the reference has no streaming at all).
+
+These run the SAME window expressions the streaming module uses
+(streaming/windows.py); Structured Streaming incrementalizes them with
+watermark state. Batch execution here gives the DuckDB oracle a target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table
+from .base import Query, dec
+
+
+def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """1-hour tumbling window per event_type. Epoch-aligned — identical
+    boundaries to DuckDB date_trunc('hour'). Decimal sum → oracle-stable.
+    Streaming twin: streaming/windows.py::tumbling_counts."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value", 6)).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """1-hour window sliding every 30 min — each event lands in exactly 2
+    windows. Oracle reconstructs the same assignment with time_bucket
+    (both engines align buckets to the epoch for sub-day intervals)."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+SQL_SLIDING_WINDOW = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+)
+SELECT window_start, COUNT(*) AS n_events FROM assigned GROUP BY 1
+"""
+
+
+def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — Spark's native
+    session_window; oracle is the classic gaps-and-islands rewrite.
+    Streaming twin: streaming/windows.py::session_counts."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured projection: pull a typed field out of the JSON
+    ``props`` column (JVM-side get_json_object — no Python)."""
+    ev = table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, event_type,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+def q_event_type_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Global per-type stats — the grouped-agg shape a monitoring rollup
+    uses; count/min/max are exact and order-independent."""
+    ev = table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "events_tumbling_window": Query(q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "events_sliding_window": Query(q_sliding_window, SQL_SLIDING_WINDOW),
+    "events_session_window": Query(q_session_window, SQL_SESSION_WINDOW),
+    "events_json_extract": Query(q_json_extract, SQL_JSON_EXTRACT),
+    "events_type_stats": Query(q_event_type_stats, SQL_EVENT_TYPE_STATS),
+}

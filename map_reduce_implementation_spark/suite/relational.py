@@ -1,0 +1,529 @@
+"""Relational operator suite (SURVEY.md §2.3-§2.8 — all EXT vs the
+reference, which has no joins/windows/sorts/set-ops at all).
+
+Every query is a declarative DataFrame pipeline: Catalyst does predicate
+pushdown, column pruning and join-strategy selection; AQE handles runtime
+coalesce and skew. Scale notes are per-query in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import table
+from .base import SQL_REVENUE, Query, dec, money_sum, revenue_expr
+
+
+# --- scans / filter / project ------------------------------------------------
+
+
+def q_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate + projection pushed down to the parquet scan (verified in
+    plans/audit.py: PushedFilters + 3-column ReadSchema). At 100 TB this
+    reads only the row groups passing the min/max filter."""
+    return (
+        table(spark, sf, "lineitem")
+        .filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_quantity > 45
+"""
+
+
+# --- aggregations ------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial+final two-phase aggregation —
+    the Spark-native form of the reference's combiner pipeline
+    (usr_functions.c:37-54 partial → 73-108 final). Shuffle carries only
+    |groups|×partitions rows thanks to map-side partial agg."""
+    li = table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum("l_quantity", "sum_qty"),
+        money_sum("l_extendedprice", "sum_base_price"),
+        F.sum(revenue_expr()).cast("double").alias("sum_disc_price"),
+        (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark expands to a two-phase distinct aggregate;
+    at scale prefer approx_count_distinct (HLL) which is one pass and
+    mergeable — provided as a separate rows-only query."""
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_AGG_DISTINCT = """
+SELECT l_returnflag,
+  COUNT(DISTINCT l_suppkey) AS n_supp,
+  COUNT(DISTINCT l_partkey) AS n_part,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets (EXT; SURVEY §2.4)."""
+    return (
+        table(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice", "sum_price"))
+    )
+
+
+SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(money_sum("l_quantity", "sum_qty"), F.count("*").alias("n_rows"))
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot with an explicit value list (never let Spark scan for values
+    at 100 TB — always pass the list)."""
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+    )
+
+
+SQL_PIVOT = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- joins -------------------------------------------------------------------
+
+
+def q_join_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-k. customer is small → we
+    broadcast it; orders⋈lineitem is a shuffle hash/sort-merge join on
+    the key both sides already produce. Top-k plans as
+    TakeOrderedAndProject (no global sort at scale)."""
+    cust = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf, "orders").filter(F.col("o_orderdate") < "1999-01-01")
+    li = table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_JOIN_SHIPPING_PRIORITY = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_join_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All dimensions (region, nation,
+    supplier, customer) are broadcast — only the orders⋈lineitem edge
+    shuffles. This is the 100 TB-correct shape: the fact-fact join keys
+    are co-partitioned by the shuffle; everything else is map-side."""
+    region = table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf, "nation")
+    supplier = table(spark, sf, "supplier")
+    customer = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = table(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+    )
+
+
+SQL_JOIN_REGION_REVENUE = f"""
+SELECT n_name, CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+"""
+
+
+def q_broadcast_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit broadcast-hint join: part (dimension) into lineitem (fact).
+    No shuffle of the fact side at all — map-side hash join."""
+    part = table(spark, sf, "part").filter(F.col("p_size") >= 40)
+    li = table(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+SQL_BROADCAST_JOIN = f"""
+SELECT p_brand, CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 40
+GROUP BY p_brand
+"""
+
+
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT SEMI = EXISTS: customers having at least one urgent order.
+    Plans as a broadcast/shuffled semi join — no row duplication, no
+    post-join distinct needed."""
+    orders = table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    cust = table(spark, sf, "customer")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT ANTI = NOT EXISTS: customers with no urgent orders."""
+    orders = table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    cust = table(spark, sf, "customer")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER join preserving empty groups (nations with zero
+    suppliers) — the same zero-fill semantics as the letter counter's
+    26-row domain join (usr_functions.c:102-106)."""
+    nation = table(spark, sf, "nation")
+    supplier = table(spark, sf, "supplier")
+    return (
+        nation.join(supplier, nation.n_nationkey == supplier.s_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+SQL_OUTER_JOIN = """
+SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers
+FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+GROUP BY n_nationkey, n_name
+"""
+
+
+# --- windows -----------------------------------------------------------------
+
+
+def q_window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 customers per market segment by balance. ROW_NUMBER with a
+    unique tie-break (c_custkey) so the result is deterministic. At scale
+    this is one shuffle on the partition key; skewed groups are split by
+    AQE."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        table(spark, sf, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+SQL_WINDOW_TOPK_PER_GROUP = """
+SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rn
+  FROM customer) t
+WHERE rn <= 3
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer running spend (ROWS UNBOUNDED PRECEDING). Decimal
+    accumulation keeps every prefix exact → oracle-stable."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        )
+    )
+
+
+SQL_WINDOW_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+def q_window_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """LAG: gap in days since the customer's previous order."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("int").alias("days_since_prev"),
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT o_custkey, o_orderkey,
+  CAST(datediff('day',
+       LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       o_orderdate) AS INTEGER) AS days_since_prev
+FROM orders
+"""
+
+
+# --- sorts / limits / set ops / distinct ------------------------------------
+
+
+def q_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-10 — Spark plans TakeOrderedAndProject: each partition
+    keeps its local top-10, driver merges. O(n) not O(n log n); never a
+    full sort at 100 TB."""
+    return (
+        table(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 8000).select("c_custkey")
+    return a.unionAll(b)
+
+
+SQL_UNION_ALL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+"""
+
+
+def q_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b)
+
+
+SQL_INTERSECT = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+"""
+
+
+def q_except(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.subtract(b)  # distinct EXCEPT semantics, matching SQL EXCEPT
+
+
+SQL_EXCEPT = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+"""
+
+
+def q_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT = hash aggregation on all columns (partial+final)."""
+    return table(spark, sf, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+SQL_DISTINCT = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+# --- scalar functions --------------------------------------------------------
+
+
+def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar surface (SURVEY §2.8): string/math built-ins, all JVM-side
+    codegen — the engine-native generalization of the reference's
+    isalpha/toupper/strstr/strlen set."""
+    p = table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat_ws("_", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+        F.floor("p_retailprice").cast("double").alias("floor_price"),
+        F.ceil("p_retailprice").cast("double").alias("ceil_price"),
+        F.abs(F.col("p_size") - F.lit(25)).alias("size_dev"),
+    )
+
+
+SQL_SCALAR_FUNCTIONS = """
+SELECT p_partkey,
+  UPPER(p_brand) AS brand_u,
+  LOWER(p_type) AS type_l,
+  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+  SUBSTRING(p_type, 1, 5) AS type5,
+  CONCAT(p_brand, '_', CAST(p_size AS VARCHAR)) AS brand_size,
+  CAST(FLOOR(p_retailprice) AS DOUBLE) AS floor_price,
+  CAST(CEIL(p_retailprice) AS DOUBLE) AS ceil_price,
+  ABS(p_size - 25) AS size_dev
+FROM part
+"""
+
+
+def q_datetime_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time scalar surface over order dates."""
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+SQL_DATETIME_FUNCTIONS = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INTEGER) AS y,
+  CAST(month(o_orderdate) AS INTEGER) AS m,
+  CAST(day(o_orderdate) AS INTEGER) AS d,
+  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+FROM orders
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "filter_project": Query(q_filter_project, SQL_FILTER_PROJECT),
+    "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
+    "agg_distinct": Query(q_agg_distinct, SQL_AGG_DISTINCT),
+    "rollup": Query(q_rollup, SQL_ROLLUP),
+    "cube": Query(q_cube, SQL_CUBE),
+    "pivot": Query(q_pivot, SQL_PIVOT),
+    "join_shipping_priority": Query(q_join_shipping_priority, SQL_JOIN_SHIPPING_PRIORITY),
+    "join_region_revenue": Query(q_join_region_revenue, SQL_JOIN_REGION_REVENUE),
+    "broadcast_join": Query(q_broadcast_join, SQL_BROADCAST_JOIN),
+    "semi_join": Query(q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": Query(q_anti_join, SQL_ANTI_JOIN),
+    "outer_join": Query(q_outer_join, SQL_OUTER_JOIN),
+    "window_topk_per_group": Query(q_window_topk_per_group, SQL_WINDOW_TOPK_PER_GROUP),
+    "window_running_sum": Query(q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
+    "window_lag": Query(q_window_lag, SQL_WINDOW_LAG),
+    "topk_orders": Query(q_topk_orders, SQL_TOPK_ORDERS),
+    "union_all": Query(q_union_all, SQL_UNION_ALL),
+    "intersect": Query(q_intersect, SQL_INTERSECT),
+    "except_": Query(q_except, SQL_EXCEPT),
+    "distinct": Query(q_distinct, SQL_DISTINCT),
+    "scalar_functions": Query(q_scalar_functions, SQL_SCALAR_FUNCTIONS),
+    "datetime_functions": Query(q_datetime_functions, SQL_DATETIME_FUNCTIONS),
+}

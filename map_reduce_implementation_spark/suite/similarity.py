@@ -1,0 +1,132 @@
+"""Similarity-search suite over the ``embeddings`` table (vec_id,
+embedding: array<float>, label).
+
+The oracle twin computes the identical double-precision sequential fold
+(DuckDB list ops are evaluated element-order like Spark's aggregate
+fold); sims are rounded to 9 dp on both sides to absorb any last-ulp
+difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import ann_lsh_topk, cosine_pairs, cosine_topk
+from ..sources import table
+from .base import Query
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _query_vec(spark: SparkSession, sf: str) -> list[float]:
+    row = (
+        table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact top-10 neighbors of vec_id=0 by cosine."""
+    qv = _query_vec(spark, sf)
+    return cosine_topk(
+        table(spark, sf, "embeddings"), qv, k=TOP_K, exclude_id=QUERY_VEC_ID
+    )
+
+
+# The oracle reproduces the same sequential fold in double precision.
+SQL_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT e.vec_id,
+    ROUND(
+      list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv), x -> x[1] * x[2]))
+      / (
+        sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+      ), 9) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+def q_cosine_pairs_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs: blocked on ``label`` so the self-join is
+    per-block, never a cross product (at scale the block key is an LSH
+    bucket). Threshold 0.25 — the synthetic vectors are near-orthogonal."""
+    return cosine_pairs(
+        table(spark, sf, "embeddings"), threshold=0.25, block_col="label"
+    )
+
+
+SQL_COSINE_PAIRS_BLOCKED = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+  ROUND(
+    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+    / (
+      sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      * sqrt(list_sum(list_transform(b.v, x -> x * x)))
+    ), 9) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+WHERE
+  list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+    / (
+      sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      * sqrt(list_sum(list_transform(b.v, x -> x * x)))
+    ) >= 0.25
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path). Spark-only plan
+    (seeded hyperplane literals) → rows-only check; recall vs brute
+    force is asserted in tests/test_similarity.py."""
+    qv = _query_vec(spark, sf)
+    return ann_lsh_topk(
+        table(spark, sf, "embeddings"), qv, k=TOP_K, n_planes=4
+    ).filter(F.col("vec_id") != QUERY_VEC_ID)
+
+
+def q_embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector norm + dimension audit — the sanity scan a pipeline runs
+    before any ANN build."""
+    e = table(spark, sf, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+            ),
+            9,
+        ).alias("l2_norm"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id, label,
+  CAST(len(embedding) AS INTEGER) AS dim,
+  ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 9) AS l2_norm
+FROM embeddings
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "similarity_cosine_topk": Query(q_cosine_topk, SQL_COSINE_TOPK),
+    "similarity_cosine_pairs": Query(q_cosine_pairs_blocked, SQL_COSINE_PAIRS_BLOCKED),
+    "similarity_ann_lsh": Query(q_ann_lsh_topk, None),
+    "embedding_norms": Query(q_embedding_norms, SQL_EMBEDDING_NORMS),
+}

@@ -1,0 +1,182 @@
+"""Text-analysis operator suite (BASELINE.json north-star: language-ID,
+quality scoring, token counting, document fingerprinting).
+
+All operators are pure column expressions (JVM codegen, zero Python) —
+at 100 TB each is a single embarrassingly-parallel scan projection, no
+shuffle. They generalize the reference's per-byte text loop
+(usr_functions.c:39-44) to document granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table
+from .base import Query
+
+TOKEN_RE = "[A-Za-z0-9]+"
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in"]
+# stopword lists per language for the n-gram/stopword lang-ID heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "und", "ist"],
+    "es": ["el", "la", "los", "que"],
+    "fr": ["le", "la", "les", "est"],
+}
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace/punct-delimited word tokens plus a
+    BPE-ish subword estimate (chars/4 heuristic used by LLM pipelines)."""
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+        (F.length("text") / F.lit(4.0)).alias("est_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_text,
+  length(text) / 4.0 AS est_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword ratios — the
+    standard pre-training filter features (C4/Gopher-style)."""
+    d = table(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    length = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    space = F.length(F.regexp_replace("text", "[^ ]", ""))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (alpha / length).alias("alpha_ratio"),
+        (space / length).alias("space_ratio"),
+        (n_stop / n_tok).alias("stopword_ratio"),
+        (length / n_tok).alias("chars_per_token"),
+    )
+
+
+SQL_QUALITY_SCORE = """
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+  length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0 / length(text) AS space_ratio,
+  len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in'))) * 1.0
+    / len(toks) AS stopword_ratio,
+  length(text) * 1.0 / len(toks) AS chars_per_token
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic: count stopword hits per language, argmax
+    with a fixed priority order (en > de > es > fr > unknown). A
+    deterministic column-expression classifier — the Spark-native shape
+    of a fastText-style scorer (the model itself would be a Pandas UDF)."""
+    d = table(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    def _in_list(sw):
+        # NB: a `sw=sw` default arg would make pyspark's lambda-signature
+        # inspection treat this as a two-arg lambda — use a closure.
+        return lambda t: t.isin(*sw)
+
+    scores = {
+        lang: F.size(F.filter(toks, _in_list(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = None
+    for lang in LANG_STOPWORDS:  # priority order on ties
+        cond = F.lit(True)
+        for other in LANG_STOPWORDS:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        clause = (scores[lang] > 0) & cond
+        best = F.when(clause, F.lit(lang)) if best is None else best.when(clause, F.lit(lang))
+    return d.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_STOPWORDS],
+        best.otherwise(F.lit("unknown")).alias("predicted_lang"),
+    )
+
+
+def _sql_lang_scores() -> str:
+    parts = []
+    for lang, sw in LANG_STOPWORDS.items():
+        inlist = ",".join(f"'{w}'" for w in sw)
+        parts.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({inlist}))) AS INTEGER) AS score_{lang}"
+        )
+    return ",\n  ".join(parts)
+
+
+def _sql_lang_case() -> str:
+    langs = list(LANG_STOPWORDS)
+    whens = []
+    for lang in langs:
+        conds = [f"score_{lang} > 0"] + [
+            f"score_{lang} >= score_{o}" for o in langs if o != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+
+
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+  {_sql_lang_scores()}
+  FROM t
+)
+SELECT doc_id, score_en, score_de, score_es, score_fr,
+  {_sql_lang_case()} AS predicted_lang
+FROM scored
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace/punct-normalized lowercase
+    text — the exact-dedup key that survives formatting changes. (A
+    rolling-hash winnowing variant lives in operators/text_fp.py as a
+    Pandas-UDF op, rows-only checked.)"""
+    d = table(spark, sf, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "text_token_count": Query(q_token_count, SQL_TOKEN_COUNT),
+    "text_quality_score": Query(q_quality_score, SQL_QUALITY_SCORE),
+    "text_lang_id": Query(q_lang_id, SQL_LANG_ID),
+    "text_fingerprint": Query(q_fingerprint, SQL_FINGERPRINT),
+}
