@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs the headline suite queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the two
+reference-parity jobs on the reference's own largest corpus
+(input-warpeace.txt, recovered from the bundled zip) so the numbers are
+directly comparable to BASELINE.md's splits=1 column.
+
+Protocol (BASELINE.md §Bench): warm SparkSession, warm-up run per query,
+then time the query action only (noop sink — computes everything,
+collects nothing). One JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARPEACE_ZIP = "/root/reference/proj_2_base.zip"
+WARPEACE_LOCAL = os.path.join(REPO, ".bench_data", "input-warpeace.txt")
+
+# headline queries: one per operator family (SURVEY.md §2 coverage)
+HEADLINE = [
+    "letter_counter",
+    "word_finder",
+    "pricing_summary",
+    "join_shipping_priority",
+    "join_region_revenue",
+    "broadcast_join",
+    "window_topk_per_group",
+    "topk_orders",
+    "events_session_window",
+    "events_tumbling_window",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "text_quality_score",
+    "text_fingerprint",
+]
+
+
+def _ensure_warpeace() -> str | None:
+    if os.path.exists(WARPEACE_LOCAL):
+        return WARPEACE_LOCAL
+    try:
+        os.makedirs(os.path.dirname(WARPEACE_LOCAL), exist_ok=True)
+        with zipfile.ZipFile(WARPEACE_ZIP) as z:
+            with z.open("proj_2_base/input-warpeace.txt") as src, open(
+                WARPEACE_LOCAL, "wb"
+            ) as dst:
+                dst.write(src.read())
+        return WARPEACE_LOCAL
+    except Exception as exc:  # corpus optional — suite bench still runs
+        print(f"warpeace unavailable: {exc}", file=sys.stderr)
+        return None
+
+
+def _run_noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _time(fn, warmup: bool = True) -> float:
+    if warmup:
+        fn()
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    from map_reduce_implementation_spark.session import get_spark
+    from map_reduce_implementation_spark.suite import all_queries
+
+    spark = get_spark(app_name="bench")
+    qs = all_queries()
+    results: dict[str, float] = {}
+
+    # --- reference-parity bench on warpeace (BASELINE splits=1 column) ---
+    wp = _ensure_warpeace()
+    if wp:
+        from map_reduce_implementation_spark.jobs import letter_counter, word_finder
+
+        results["counter_warpeace"] = _time(
+            lambda: letter_counter(spark, wp).collect()
+        )
+        results["finder_the_warpeace"] = _time(
+            lambda: word_finder(spark, wp, "the").count()
+        )
+
+    # --- suite headliners at SF_DIR ---
+    for name in HEADLINE:
+        q = qs[name]
+        try:
+            results[name] = _time(lambda q=q: _run_noop(q.build(spark, SF_DIR)))
+        except Exception as exc:
+            print(f"bench {name} failed: {exc}", file=sys.stderr)
+            results[name] = float("nan")
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    total = sum(v for v in results.values() if v == v)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 4) for k, v in results.items()},
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -36,7 +36,7 @@ def whole_word_pattern(word: str) -> str:
     """The reference's boundary rule as a regex: line-edge or non-[0-9A-Za-z]
     on both sides (usr_functions.c:164-174). Deliberately NOT ``\\b``."""
     w = _escape_java_regex(word)
-    return f"(^|[^0-9A-Za-z]){w}([^0-9A-Za-z]|$)"
+    return f"(?:^|[^0-9A-Za-z]){w}(?:[^0-9A-Za-z]|$)"
 
 
 def word_finder(
@@ -48,9 +48,17 @@ def word_finder(
     """Filter lines containing ``word`` as a whole word (case-sensitive)."""
     if isinstance(df_or_path, str):
         df = spark.read.text(df_or_path)
+        target = min(32, spark.sparkContext.defaultParallelism)
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     else:
         df = df_or_path
-    return df.filter(F.col(text_col).rlike(whole_word_pattern(word)))
+    # cheap substring containment prunes before the (pricier) regex —
+    # both predicates fuse into one codegen stage
+    return df.filter(
+        F.col(text_col).contains(word)
+        & F.col(text_col).rlike(whole_word_pattern(word))
+    )
 
 
 def word_finder_python(lines: list[str], word: str) -> list[str]:

@@ -3,9 +3,9 @@
 Everything stays JVM-side (murmur3 ``F.hash`` / ``F.xxhash64``; no Python
 in the hot path). Shapes chosen for 100 TB:
 
-- MinHash signatures are built by a (doc, perm) shuffle with map-side
-  partial MIN — the same partial/final two-phase shape as the letter
-  counter, keyed uniformly by (doc_id, perm) → no skew.
+- MinHash signatures are one groupBy(doc_id) carrying ``num_perm``
+  MIN aggregates — partial/final two-phase, shuffling num_perm ints per
+  doc per partition; no row blow-up, keyed uniformly → no skew.
 - LSH banding turns the O(n²) pair space into per-bucket joins; bucket
   sizes are bounded in practice by signature entropy; ultra-hot buckets
   (near-identical boilerplate docs) are exactly the pairs we want.
@@ -27,17 +27,15 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = 128) -> DataFrame:
     Permutation p's hash is murmur3(shingle, p) — independent uniform
     hashes, the standard one-hash-per-perm construction.
     """
-    hashed = shingles.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.hash("shingle", F.lit(p)) for p in range(num_perm)])
-        ).alias("perm", "h"),
-    )
-    per_perm_min = hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("mh"))
+    mins = [
+        F.min(F.hash("shingle", F.lit(p))).alias(f"m{p}") for p in range(num_perm)
+    ]
     return (
-        per_perm_min.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("perm", "mh"))).alias("s"))
-        .select("doc_id", F.transform("s", lambda x: x["mh"]).alias("sig"))
+        shingles.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id", F.array(*[F.col(f"m{p}") for p in range(num_perm)]).alias("sig")
+        )
     )
 
 

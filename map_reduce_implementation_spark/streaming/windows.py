@@ -1,0 +1,129 @@
+"""Structured Streaming surface (SURVEY.md §2.9 — EXT; the reference has
+no streaming. Flagged as extension per SURVEY §1.4).
+
+Design: the window aggregations are THE SAME column expressions as the
+batch twins in suite/events.py — a function of DataFrame in, DataFrame
+out, agnostic to batch vs stream. Structured Streaming incrementalizes
+them; the watermark bounds state.
+
+100 TB/stream notes:
+- State store scale: watermark + windowed agg keeps state per (window,
+  key) only until watermark passes window end — bounded by key
+  cardinality × window horizon, not stream length.
+- ``Trigger.AvailableNow`` used in tests = batch-equivalent semantics
+  with the streaming engine, the recommended backfill pattern.
+- Custom stateful ops use ``applyInPandasWithState`` (Arrow-batched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos in the parquet (see sources)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over events parquet (directory of files —
+    Spark's file source discovers new files as they land)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts per event_type — streaming twin of
+    suite/events.py::q_tumbling_window (same expressions)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (inactivity gap) per user — streaming twin of
+    suite/events.py::q_session_window. State per open session, closed
+    and emitted once the watermark passes session end + gap."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def stateful_running_count(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running event
+    count per user across micro-batches (the canonical template for
+    bespoke state machines the built-in windows can't express)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("total_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("cnt", T.LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [cnt]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_available_now_to_memory(
+    sdf: DataFrame, name: str, mode: str = "complete", timeout_s: int = 120
+) -> None:
+    """Drain the stream with Trigger.AvailableNow into an in-memory table
+    (tests/backfill). Batch-equivalent results, streaming engine."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()

@@ -55,13 +55,15 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Quality scoring: length / punctuation / stopword ratios — the
     standard pre-training filter features (C4/Gopher-style)."""
     d = table(spark, sf, "documents")
-    toks = _tokens(F.col("text"))
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    # bind the token array to a column — lambda references to the raw
+    # split() expression would re-run the tokenizer per element
+    t = d.select("doc_id", "text", _tokens(F.col("text")).alias("toks"))
+    n_tok = F.size("toks")
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS_EN)))
     length = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     space = F.length(F.regexp_replace("text", "[^ ]", ""))
-    return d.select(
+    return t.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         (alpha / length).alias("alpha_ratio"),
@@ -93,28 +95,33 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     with a fixed priority order (en > de > es > fr > unknown). A
     deterministic column-expression classifier — the Spark-native shape
     of a fastText-style scorer (the model itself would be a Pandas UDF)."""
-    d = table(spark, sf, "documents")
-    toks = _tokens(F.col("text"))
     def _in_list(sw):
         # NB: a `sw=sw` default arg would make pyspark's lambda-signature
         # inspection treat this as a two-arg lambda — use a closure.
         return lambda t: t.isin(*sw)
 
-    scores = {
-        lang: F.size(F.filter(toks, _in_list(sw)))
-        for lang, sw in LANG_STOPWORDS.items()
-    }
+    # three-stage select so toks and each score bind to real columns —
+    # repeated references to raw expressions would re-evaluate them
+    tokd = table(spark, sf, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    scored = tokd.select(
+        "doc_id",
+        *[
+            F.size(F.filter(F.col("toks"), _in_list(sw))).alias(f"score_{lang}")
+            for lang, sw in LANG_STOPWORDS.items()
+        ],
+    )
     best = None
     for lang in LANG_STOPWORDS:  # priority order on ties
-        cond = F.lit(True)
+        cond = F.col(f"score_{lang}") > 0
         for other in LANG_STOPWORDS:
             if other != lang:
-                cond = cond & (scores[lang] >= scores[other])
-        clause = (scores[lang] > 0) & cond
-        best = F.when(clause, F.lit(lang)) if best is None else best.when(clause, F.lit(lang))
-    return d.select(
+                cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return scored.select(
         "doc_id",
-        *[scores[lang].alias(f"score_{lang}") for lang in LANG_STOPWORDS],
+        *[f"score_{lang}" for lang in LANG_STOPWORDS],
         best.otherwise(F.lit("unknown")).alias("predicted_lang"),
     )
 

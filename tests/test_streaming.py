@@ -1,0 +1,57 @@
+"""Streaming surface tests: AvailableNow drain must equal the batch twin."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from map_reduce_implementation_spark.sources import table
+from map_reduce_implementation_spark.streaming import (
+    run_available_now_to_memory,
+    session_counts,
+    stateful_running_count,
+    stream_events,
+    tumbling_counts,
+)
+
+from .conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # file-source streams read a directory; stage the events file into one
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF0001}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir):
+    sdf = tumbling_counts(stream_events(spark, events_dir))
+    run_available_now_to_memory(sdf, "t_tumbling")
+    got = _sorted_rows(spark.table("t_tumbling"))
+    want = _sorted_rows(tumbling_counts(table(spark, SF0001, "events")))
+    assert got == want
+
+
+def test_session_stream_equals_batch(spark, events_dir):
+    sdf = session_counts(stream_events(spark, events_dir))
+    run_available_now_to_memory(sdf, "t_session")
+    got = _sorted_rows(spark.table("t_session"))
+    want = _sorted_rows(session_counts(table(spark, SF0001, "events")))
+    assert got == want
+
+
+def test_stateful_running_count(spark, events_dir):
+    sdf = stateful_running_count(stream_events(spark, events_dir))
+    run_available_now_to_memory(sdf, "t_state", mode="update")
+    got = {r.user_id: r.total_events for r in spark.table("t_state").collect()}
+    ev = table(spark, SF0001, "events")
+    want = {
+        r.user_id: r.n for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
