@@ -118,6 +118,70 @@ def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids are plan literals (broadcast with the task binary); the
+    argmin is an array expression — one scan, no join, no shuffle.
+    Returns the input plus a ``cell`` column.
+    """
+    v = _as_double(vec_col)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, _as_double(lit_vector(c)), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return embeddings.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize into ``n_cells``,
+    score only the query's ``nprobe`` nearest cells.
+
+    The coarse quantizer here takes the first ``n_cells`` vectors (by
+    id) as centroids — deterministic and dependency-free; production
+    would run k-means. At 100 TB the cell assignment is computed once at
+    ingest and stored as a partition column, making the probe a
+    partition-pruned scan of nprobe/n_cells of the data.
+    """
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in embeddings.orderBy(id_col).limit(n_cells).collect()
+    ]
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = [float(((np.asarray(c) - q) ** 2).sum()) for c in cents]
+    probe_cells = list(np.argsort(d2)[:nprobe])
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    v = _as_double(vec_col)
+    qv = _as_double(lit_vector(query_vec))
+    return (
+        assigned.filter(F.col("cell").isin(*[int(c) for c in probe_cells]))
+        .select(F.col(id_col), F.round(cosine(v, qv), 9).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -1,0 +1,59 @@
+"""Skew-handling utilities: salted joins and salted aggregation.
+
+AQE's skew-join splitting (enabled session-wide in session.py) handles
+most skew at runtime by splitting oversized shuffle partitions. These
+helpers cover the cases AQE cannot: a broadcast-ineligible dimension
+joined on a key where a handful of values dominate (the classic
+hot-customer / null-key problem), and high-cardinality partial
+aggregation under hot groups.
+
+Salting is semantics-preserving: the fact side gets a deterministic
+pseudo-random salt in [0, n); the dim side is exploded n× (one row per
+salt); the join key becomes (key, salt) → hot keys spread over n tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``fact ⋈ dim`` on ``key`` with an ``n_salts``-way salt.
+
+    Result is column-identical to ``fact.join(dim, key, how)`` (verified
+    in tests). Supports inner and left joins (the dim explode preserves
+    left rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt_f = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    fact_s = fact.withColumn("__salt", salt_f)
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = fact_s.join(dim_s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_agg_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Two-stage count under hot groups: groupBy(key, salt) partial →
+    groupBy(key) final. Spark's partial agg already does this per
+    partition; explicit salting additionally splits a hot key across
+    REDUCERS, which partial agg cannot.
+
+    Returns DataFrame[key, cnt].
+    """
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    stage1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(F.count("*").alias("c"))
+    )
+    return stage1.groupBy(key).agg(F.sum("c").alias("cnt"))

@@ -9,12 +9,32 @@ oracle twin where SQL-expressible.
 from __future__ import annotations
 
 from .base import Query
-from . import relational, events, text, dedup, similarity, multimodal, parity
+from . import (
+    dedup,
+    events,
+    joins2,
+    multimodal,
+    parity,
+    relational,
+    similarity,
+    stats,
+    text,
+)
 
 
 def all_queries() -> dict[str, Query]:
     merged: dict[str, Query] = {}
-    for mod in (parity, relational, events, text, dedup, similarity, multimodal):
+    for mod in (
+        parity,
+        relational,
+        joins2,
+        stats,
+        events,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+    ):
         for name, q in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")

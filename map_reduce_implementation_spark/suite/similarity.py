@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import ann_lsh_topk, cosine_pairs, cosine_topk
+from ..operators.similarity import ann_lsh_topk, cosine_pairs, cosine_topk, ivf_topk
 from ..sources import table
 from .base import Query
 
@@ -98,6 +98,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("vec_id") != QUERY_VEC_ID)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (scale path #2): coarse-quantize,
+    probe nprobe cells. Deterministic centroid pick → rows-only check;
+    recall vs brute force asserted in tests/test_dedup_similarity.py."""
+    qv = _query_vec(spark, sf)
+    return ivf_topk(
+        table(spark, sf, "embeddings"), qv, k=TOP_K, n_cells=8, nprobe=3
+    ).filter(F.col("vec_id") != QUERY_VEC_ID)
+
+
 def q_embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
     """Vector norm + dimension audit — the sanity scan a pipeline runs
     before any ANN build."""
@@ -128,5 +138,6 @@ QUERIES: dict[str, Query] = {
     "similarity_cosine_topk": Query(q_cosine_topk, SQL_COSINE_TOPK),
     "similarity_cosine_pairs": Query(q_cosine_pairs_blocked, SQL_COSINE_PAIRS_BLOCKED),
     "similarity_ann_lsh": Query(q_ann_lsh_topk, None),
+    "similarity_ann_ivf": Query(q_ann_ivf_topk, None),
     "embedding_norms": Query(q_embedding_norms, SQL_EMBEDDING_NORMS),
 }

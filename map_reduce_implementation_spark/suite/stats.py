@@ -1,0 +1,114 @@
+"""Statistical aggregates & grouping-set suite (EXT — SURVEY §2.4 lists
+none in the reference; all built-in Spark aggregates).
+
+Float caveat: stddev/var/corr are order-dependent in the last ulps —
+both engines use numerically stable one-pass algorithms that agree to
+~1e-10 relative; results are rounded to 6 dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table
+from .base import Query, dec
+
+
+def q_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("cov_qty_price"),
+        F.round(F.avg(dec("l_extendedprice")).cast("double"), 6).alias("avg_price"),
+    )
+
+
+SQL_STATS_AGG = """
+SELECT l_returnflag,
+  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+  ROUND(var_samp(l_discount), 6) AS var_disc,
+  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price,
+  ROUND(CAST(AVG(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS avg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). The approx/sketch variant (approx_percentile /
+    t-digest) is a separate rows-only query — sketches differ by engine."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+  ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (same Catalyst plan as the
+    DataFrame rollup/cube — Expand + partial/final agg)."""
+    table(spark, sf, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the one-pass mergeable sketch used
+    instead of COUNT(DISTINCT) at 100 TB. Engine sketches differ →
+    rows-only check; accuracy vs exact asserted in tests (±5%)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+def q_having(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") > 80)
+    )
+
+
+SQL_HAVING = """
+SELECT user_id, COUNT(*) AS n_events FROM events
+GROUP BY user_id HAVING COUNT(*) > 80
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "stats_agg": Query(q_stats_agg, SQL_STATS_AGG),
+    "percentiles": Query(q_percentiles, SQL_PERCENTILES),
+    "grouping_sets": Query(q_grouping_sets, SQL_GROUPING_SETS),
+    "approx_distinct": Query(q_approx_distinct, None),
+    "having": Query(q_having, SQL_HAVING),
+}

@@ -181,7 +181,19 @@ FROM documents
 """
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints via Arrow-batched
+    mapInPandas (operators/text_fp.py). Python kernel → rows-only check;
+    determinism + substring-sharing property tested in
+    tests/test_text_ops.py."""
+    from ..operators.text_fp import winnow_fingerprints
+
+    d = table(spark, sf, "documents")
+    return winnow_fingerprints(d).select("doc_id", "n_fingerprints")
+
+
 QUERIES: dict[str, Query] = {
+    "text_winnow_fingerprint": Query(q_winnow_fingerprint, None),
     "text_token_count": Query(q_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": Query(q_quality_score, SQL_QUALITY_SCORE),
     "text_lang_id": Query(q_lang_id, SQL_LANG_ID),

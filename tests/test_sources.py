@@ -1,0 +1,66 @@
+"""Source/sink surface tests: csv/json round-trips, partitioned parquet
+writes with partition pruning, single-file text sink parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_implementation_spark.plans import audit_plan
+from map_reduce_implementation_spark.sources import table
+from map_reduce_implementation_spark.sources.tables import (
+    read_csv,
+    read_json,
+    write_parquet,
+    write_single_text_file,
+)
+
+from .conftest import SF0001
+
+
+def _nation(spark):
+    return table(spark, SF0001, "nation")
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = _nation(spark)
+    p = str(tmp_path / "nation_csv")
+    src.write.mode("overwrite").option("header", "true").csv(p)
+    back = read_csv(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_json_roundtrip(spark, tmp_path):
+    src = _nation(spark)
+    p = str(tmp_path / "nation_json")
+    src.write.mode("overwrite").json(p)
+    back = read_json(spark, p).select(*src.columns)  # json reorders cols
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    src = table(spark, SF0001, "orders")
+    p = str(tmp_path / "orders_part")
+    write_parquet(src, p, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(p)
+    q = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    a = audit_plan(q)
+    # hive-style partition pruning: the filter moves into PartitionFilters
+    assert "PartitionFilters" in a.text and "o_orderstatus" in a.text.split(
+        "PartitionFilters"
+    )[1].split("]")[0], f"no partition pruning:\n{a.text[:1500]}"
+    want = src.filter(F.col("o_orderstatus") == "F").count()
+    assert q.count() == want
+
+
+def test_single_text_file_sink(spark, tmp_path):
+    from map_reduce_implementation_spark.jobs import letter_counter
+
+    df = letter_counter(spark, "/root/reference/proj_2_base/input.txt")
+    out = str(tmp_path / "mr_rst")
+    write_single_text_file(df.selectExpr("concat(letter, ' ', cnt) AS value"), out)
+    import glob
+
+    parts = [f for f in glob.glob(f"{out}/part-*") if not f.endswith(".crc")]
+    assert len(parts) == 1, "reference parity: ONE result file (mr.rst)"
+    lines = open(parts[0]).read().splitlines()
+    assert len(lines) == 26 and lines[0] == "A 15" and lines[-1] == "Z 0"
