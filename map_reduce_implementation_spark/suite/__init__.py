@@ -16,6 +16,7 @@ from . import (
     multimodal,
     parity,
     relational,
+    scalars2,
     similarity,
     stats,
     text,
@@ -29,6 +30,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         joins2,
         stats,
+        scalars2,
         events,
         text,
         dedup,

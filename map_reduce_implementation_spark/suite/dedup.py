@@ -49,14 +49,11 @@ def _shingles(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
     split() expression inside the gram lambda would inline (and
     re-evaluate) the tokenizer once per array element — measured 20×
     slower at sf0.1."""
+    from ..functions import tokens, word_ngrams
+
     d = table(spark, sf, "documents")
-    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit(""))
-    tokd = d.select("doc_id", toks.alias("ts"))
-    ts = F.col("ts")
-    grams = F.transform(
-        F.slice(ts, 1, F.greatest(F.size(ts) - (n - 1), F.lit(0))),
-        lambda _, i: F.concat_ws(" ", *[F.get(ts, i + j) for j in range(n)]),
-    )
+    tokd = d.select("doc_id", tokens("text").alias("ts"))
+    grams = word_ngrams("ts", n)
     return tokd.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 

@@ -26,8 +26,7 @@ LANG_STOPWORDS = {
 }
 
 
-def _tokens(col):
-    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+from ..functions import tokens as _tokens  # noqa: E402
 
 
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
