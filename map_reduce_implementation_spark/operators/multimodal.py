@@ -84,6 +84,77 @@ def decode_stub(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_stub(
+    df_decoded_payload: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Image-resize stand-in over mapInPandas: emits a deterministic
+    ``target_w*target_h``-byte payload derived by strided byte sampling.
+    A real implementation calls PIL ``Image.resize`` per batch; the
+    schema, batching and binary-out plumbing are identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = target_w * target_h
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                if len(p) == 0:
+                    out.append(b"\x00" * size)
+                    continue
+                step = max(1, len(p) // size)
+                sampled = (p[::step] * ((size // max(1, len(p[::step]))) + 1))[:size]
+                out.append(bytes(sampled))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": target_w,
+                    "height": target_h,
+                    "resized": out,
+                }
+            )
+
+    return df_decoded_payload.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def feature_extract_stub(df_with_payload: DataFrame, dim: int = 16) -> DataFrame:
+    """Embedding-extraction stand-in (a real one runs an ONNX/torch model
+    per Arrow batch): deterministic byte-histogram features, L2-normed.
+    Output matches the ``embeddings`` table shape → feeds directly into
+    the similarity operators."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                n = np.linalg.norm(hist)
+                feats.append((hist / n if n else hist).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "feature": feats}
+            )
+
+    return df_with_payload.mapInPandas(batches, FEATURE_SCHEMA)
+
+
 def frame_sample_stub(df_with_payload: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Video-style frame sampling stand-in: emit one row per sampled
     'frame' offset (posexplode of byte offsets). Real path: ffmpeg

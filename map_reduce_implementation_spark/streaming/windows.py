@@ -113,6 +113,37 @@ def stateful_running_count(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state —
+    the streaming twin of dedup_exact. State is dropped once the
+    watermark passes (dropDuplicatesWithinWatermark), so memory is
+    bounded by the watermark horizon, not stream length."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_foreach_batch_to_parquet(sdf: DataFrame, out_dir: str, timeout_s: int = 120):
+    """foreachBatch sink: per-micro-batch custom writes (the escape hatch
+    for sinks Structured Streaming lacks — JDBC upserts, dual writes).
+    Here: append each batch to parquet with the batch id stamped."""
+    from pyspark.sql import functions as F  # noqa: F401  (local alias)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+
+
 def run_available_now_to_memory(
     sdf: DataFrame, name: str, mode: str = "complete", timeout_s: int = 120
 ) -> None:

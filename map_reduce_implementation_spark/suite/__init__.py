@@ -13,6 +13,7 @@ from . import (
     dedup,
     events,
     joins2,
+    maps,
     multimodal,
     parity,
     relational,
@@ -31,6 +32,7 @@ def all_queries() -> dict[str, Query]:
         joins2,
         stats,
         scalars2,
+        maps,
         events,
         text,
         dedup,

@@ -5,8 +5,15 @@ pattern notes)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..operators.multimodal import decode_stub, frame_sample_stub, with_binary_payload
+from ..operators.multimodal import (
+    decode_stub,
+    feature_extract_stub,
+    frame_sample_stub,
+    resize_stub,
+    with_binary_payload,
+)
 from ..sources import table
 from .base import Query
 
@@ -49,8 +56,24 @@ FROM f
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize stub (binary-in/binary-out mapInPandas). Rows-only; exact
+    output bytes asserted deterministic in tests."""
+    out = resize_stub(with_binary_payload(table(spark, sf, "documents")))
+    return out.select("doc_id", "width", "height", F.octet_length("resized").alias("n_bytes"))
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-extraction stub → array<float> embeddings ready for the
+    similarity operators. Rows-only."""
+    out = feature_extract_stub(with_binary_payload(table(spark, sf, "documents")))
+    return out.select("doc_id", F.size("feature").alias("dim"))
+
+
 QUERIES: dict[str, Query] = {
     "multimodal_metadata": Query(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
     "multimodal_decode": Query(q_multimodal_decode, None),
     "multimodal_frame_sample": Query(q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE),
+    "multimodal_resize": Query(q_multimodal_resize, None),
+    "multimodal_features": Query(q_multimodal_features, None),
 }

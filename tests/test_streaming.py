@@ -55,3 +55,36 @@ def test_stateful_running_count(spark, events_dir):
         r.user_id: r.n for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
     }
     assert got == want
+
+
+def test_sliding_stream_equals_batch(spark, events_dir):
+    from map_reduce_implementation_spark.streaming import sliding_counts
+
+    sdf = sliding_counts(stream_events(spark, events_dir))
+    run_available_now_to_memory(sdf, "t_sliding")
+    got = _sorted_rows(spark.table("t_sliding"))
+    want = _sorted_rows(sliding_counts(table(spark, SF0001, "events")))
+    assert got == want
+
+
+def test_streaming_dedup_bounded_state(spark, events_dir, tmp_path):
+    import shutil as _sh
+
+    from map_reduce_implementation_spark.streaming.windows import (
+        run_foreach_batch_to_parquet,
+        streaming_dedup,
+    )
+
+    # duplicate the events file → stream sees every event twice
+    dup_dir = tmp_path / "dup_events"
+    dup_dir.mkdir()
+    _sh.copy(f"{SF0001}/events.parquet", dup_dir / "a.parquet")
+    _sh.copy(f"{SF0001}/events.parquet", dup_dir / "b.parquet")
+    deduped = streaming_dedup(stream_events(spark, str(dup_dir)))
+    out = str(tmp_path / "dedup_out")
+    run_foreach_batch_to_parquet(deduped, out)
+    got = spark.read.parquet(out)
+    n_src = table(spark, SF0001, "events").count()
+    assert got.select("event_id").distinct().count() == n_src
+    # both copies land in one availableNow batch → exact dedup holds
+    assert got.count() == n_src
