@@ -66,12 +66,17 @@ def _run_noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _time(fn, warmup: bool = True) -> float:
+def _time(fn, warmup: bool = True, runs: int = 3) -> float:
+    """Best-of-N after a warm-up — the same protocol BASELINE.md used to
+    measure the reference (best of 3, warm cache)."""
     if warmup:
         fn()
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> int:

@@ -79,3 +79,38 @@ def test_word_finder_underscore_is_boundary(spark):
     got = {r.value for r in word_finder(spark, df, "the").collect()}
     # '_' is NOT alnum in the reference → boundary (usr_functions.c:168-169)
     assert got == {"foo_the_bar", "the quick"}
+
+def test_counter_paths_agree(spark):
+    """The Arrow histogram path, the 26-replace JVM path, and the
+    explode+agg path are three implementations of one semantic — all
+    must agree (incl. zero-fill behavior on the tiny corpus)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_implementation_spark.jobs.letter_counter import (
+        letter_counts_arrow,
+        letter_counts_fast,
+        letter_counts_of,
+    )
+
+    for path, golden in ((TINY, TINY_GOLDEN), (ALICE, ALICE_GOLDEN)):
+        df = spark.read.text(path)
+        arrow = {r.letter: r.cnt for r in letter_counts_arrow(df).collect()}
+        fast = {r.letter: r.cnt for r in letter_counts_fast(df).collect()}
+        sparse = {r.letter: r.cnt for r in letter_counts_of(df).collect()}
+        assert arrow == golden
+        assert fast == golden
+        assert sparse == {k: v for k, v in golden.items() if v > 0}
+
+
+def test_counter_arrow_non_ascii_and_nulls(spark):
+    """Multi-byte UTF-8 never contributes (every byte >= 0x80); nulls
+    and empty strings count nothing."""
+    df = spark.createDataFrame(
+        [("héllo Wörld",), (None,), ("",), ("ZZz",)], "value: string"
+    )
+    got = {r.letter: r.cnt for r in letter_counter(spark, df).collect()}
+    assert got["H"] == 1 and got["L"] == 3 and got["O"] == 1  # ö is not ASCII o
+    assert got["W"] == 1 and got["R"] == 1 and got["D"] == 1
+    assert got["Z"] == 3
+    assert got["E"] == 0  # é is not ASCII e
+    assert sum(got.values()) == 11
