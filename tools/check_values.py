@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Value-level oracle comparison — stricter than row counts.
+
+Mirrors the driver's CORRECTNESS protocol: for every suite query with a
+SQL oracle, run the Spark query and the DuckDB twin at sf0.01, sort
+columns by name and rows by value, then compare cell-by-cell. Floats
+compare at a relative tolerance and the max deviation is reported so
+exact-hash risks are visible.
+
+Usage: python tools/check_values.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _rows_sorted(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def _compare(a: list[tuple], b: list[tuple], rel: float = 1e-9):
+    """Return (exact_equal, tol_equal, max_rel_dev)."""
+    if len(a) != len(b):
+        return False, False, float("inf")
+    exact = True
+    max_dev = 0.0
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False, False, float("inf")
+        for x, y in zip(ra, rb):
+            if x == y:
+                continue
+            exact = False
+            if isinstance(x, float) and isinstance(y, float):
+                denom = max(abs(x), abs(y), 1e-300)
+                dev = abs(x - y) / denom
+                max_dev = max(max_dev, dev)
+                if dev > rel:
+                    return False, False, max_dev
+            elif isinstance(x, (int, float)) and isinstance(y, (int, float)):
+                denom = max(abs(x), abs(y), 1e-300)
+                dev = abs(x - y) / denom
+                max_dev = max(max_dev, dev)
+                if dev > rel:
+                    return False, False, max_dev
+            else:
+                return False, False, float("inf")
+    return exact, True, max_dev
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import duckdb
+
+    import __spark_entry__ as e
+    from map_reduce_implementation_spark.session import get_spark
+
+    spark = get_spark(app_name="check_values", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs, osql = e.queries(), e.oracle_sql()
+    n_exact = n_tol = n_bad = n_rows_only = 0
+    for name, fn in qs.items():
+        sdf = fn(spark, sf)
+        if name not in osql:
+            n_rows_only += 1
+            continue
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        rel = con.execute(osql[name])
+        d_cols = [d[0] for d in rel.description]
+        d_rows = [tuple(r) for r in rel.fetchall()]
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            n_bad += 1
+            continue
+        a = _rows_sorted(s_cols, s_rows)
+        b = _rows_sorted(d_cols, d_rows)
+        exact, tol, dev = _compare(a, b)
+        if exact:
+            n_exact += 1
+        elif tol:
+            n_tol += 1
+            print(f"TOL  {name}: values match at 1e-9 but NOT bit-exact (max rel dev {dev:.2e})")
+        else:
+            n_bad += 1
+            print(f"FAIL {name}: value mismatch (max rel dev {dev:.2e}, rows {len(a)} vs {len(b)})")
+            for ra, rb in list(zip(a, b))[:200]:
+                if ra != rb:
+                    print(f"  spark: {ra}\n  duck : {rb}")
+                    break
+    print(
+        f"\n{n_exact} exact, {n_tol} within-tolerance, {n_bad} FAILED, "
+        f"{n_rows_only} rows-only (no oracle)"
+    )
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
