@@ -71,6 +71,36 @@ def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table — the co-located-join primitive.
+
+    Two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle exchange on either side (asserted in
+    tests/test_plans.py): at 100 TB this turns every recurring
+    fact-to-fact join on the bucket key into a zero-shuffle map-side
+    join, the single biggest cost lever for repeated pipelines. Spark
+    bucketing = hive-compatible hash partitioning persisted in the table
+    metadata (the reference has no storage layer at all — EXT)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Parquet sink. ``partition_by`` → hive-style partition pruning on read."""
     w = df.write.mode("overwrite")

@@ -161,9 +161,44 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(d, text_col="text", id_col="doc_id")
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup: label-blocked pair scan, keeper =
+    smallest vec_id among each dup's higher-similarity partners. The
+    block key bounds the pair space (at scale it is an LSH/IVF bucket,
+    same shape as similarity_ann_*). Threshold 0.35 ≈ the synthetic
+    corpus's 99.9th percentile — flags only genuine outlier pairs."""
+    from ..operators.similarity import cosine_pairs
+
+    pairs = cosine_pairs(
+        table(spark, sf, "embeddings"), threshold=0.35, block_col="label"
+    )
+    return pairs.groupBy(F.col("id2").alias("dup_vec_id")).agg(
+        F.min("id1").alias("keeper_vec_id"),
+        F.round(F.max("sim"), 9).alias("max_sim"),
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+    ROUND(
+      list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 9) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+)
+SELECT id2 AS dup_vec_id, MIN(id1) AS keeper_vec_id, ROUND(MAX(sim), 9) AS max_sim
+FROM pairs WHERE sim >= 0.35 GROUP BY id2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None),
     "dedup_simhash": Query(q_dedup_simhash, None),
+    "dedup_embedding_cosine": Query(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
 }

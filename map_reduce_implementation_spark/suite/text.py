@@ -29,21 +29,31 @@ LANG_STOPWORDS = {
 from ..functions import tokens as _tokens  # noqa: E402
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to RE2-safe constructs
+# (no lookarounds) so the identical string drives Spark AND DuckDB:
+# contractions | space?+letter-run | space?+digit-run | space?+punct-run |
+# whitespace-run. Each match ≈ one BPE pre-token.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Token counting: whitespace/punct-delimited word tokens plus a
-    BPE-ish subword estimate (chars/4 heuristic used by LLM pipelines)."""
+    """Token counting: whitespace/punct-delimited word tokens, a real
+    BPE-ish pre-tokenizer regex count (GPT-2-style pattern), and the
+    chars/4 estimate LLM pipelines use for quick budgeting."""
     d = table(spark, sf, "documents")
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_RE), 0)).alias("n_bpe_ish"),
         F.length("text").alias("n_chars_text"),
         (F.length("text") / F.lit(4.0)).alias("est_bpe_tokens"),
     )
 
 
-SQL_TOKEN_COUNT = """
+SQL_TOKEN_COUNT = f"""
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_ISH_RE.replace("'", "''")}')) AS INTEGER) AS n_bpe_ish,
   CAST(length(text) AS INTEGER) AS n_chars_text,
   length(text) / 4.0 AS est_bpe_tokens
 FROM documents

@@ -64,3 +64,53 @@ def test_single_text_file_sink(spark, tmp_path):
     assert len(parts) == 1, "reference parity: ONE result file (mr.rst)"
     lines = open(parts[0]).read().splitlines()
     assert len(lines) == 26 and lines[0] == "A 15" and lines[-1] == "Z 0"
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from map_reduce_implementation_spark.sources.tables import read_orc, write_orc
+
+    src = _nation(spark)
+    p = str(tmp_path / "nation_orc")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key join with ZERO Exchange nodes
+    — the co-located join that kills the shuffle at 100 TB."""
+    from map_reduce_implementation_spark.sources.tables import write_bucketed
+
+    # warehouse.dir is a static conf — managed tables land in the default
+    # ./spark-warehouse; DROP TABLE below removes the files
+    orders = table(spark, SF0001, "orders")
+    lineitem = table(spark, SF0001, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+    )
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    # force SMJ path (no broadcast) to prove bucketing removes the exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, "o_orderkey").groupBy("o_orderstatus").count()
+        plan = audit_plan(joined)
+        # the join itself must be exchange-free; the only exchange allowed
+        # is the one for the final groupBy
+        physical = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = physical.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in physical
+        assert "Exchange hashpartitioning" not in join_part
+        got = {r.o_orderstatus: r["count"] for r in joined.collect()}
+        want = {
+            r.o_orderstatus: r["count"]
+            for r in orders.join(
+                lineitem, orders.o_orderkey == lineitem.l_orderkey
+            ).groupBy("o_orderstatus").count().collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
