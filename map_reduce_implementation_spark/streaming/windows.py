@@ -123,6 +123,16 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:
+    """Stream-static join: enrich a stream against a static dimension.
+
+    Structured Streaming plans this as a per-micro-batch broadcast join —
+    the static side is re-broadcast per batch, never stateful, so it
+    scales with the dim size only. The classic 100 TB-stream shape:
+    events × small reference data, zero state-store footprint."""
+    return events.join(F.broadcast(dim), on)
+
+
 def run_foreach_batch_to_parquet(sdf: DataFrame, out_dir: str, timeout_s: int = 120):
     """foreachBatch sink: per-micro-batch custom writes (the escape hatch
     for sinks Structured Streaming lacks — JDBC upserts, dual writes).

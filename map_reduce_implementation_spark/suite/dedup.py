@@ -195,8 +195,37 @@ FROM pairs WHERE sim >= 0.35 GROUP BY id2
 """
 
 
+def q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-first dedup as a window (the QUALIFY pattern): row_number
+    over (partition by content-hash, order by doc_id) = 1 retains the
+    FULL surviving row, not just the group key — the shape used when
+    the kept row's payload must flow on. One shuffle on the hash key;
+    vs dedup_exact's groupBy this trades an agg for a per-group sort
+    (cheap: groups are tiny) to preserve whole-row output at scale."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.md5("text").alias("content_hash"))
+    )
+
+
+SQL_DEDUP_KEEP_FIRST = """
+SELECT doc_id, md5(text) AS content_hash
+FROM (
+  SELECT doc_id, text,
+    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_keep_first": Query(q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None),
     "dedup_simhash": Query(q_dedup_simhash, None),

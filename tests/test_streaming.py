@@ -88,3 +88,22 @@ def test_streaming_dedup_bounded_state(spark, events_dir, tmp_path):
     assert got.select("event_id").distinct().count() == n_src
     # both copies land in one availableNow batch → exact dedup holds
     assert got.count() == n_src
+
+
+def test_stream_static_join_equals_batch(spark, events_dir):
+    from map_reduce_implementation_spark.streaming.windows import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        "event_type: string, weight: double",
+    )
+    sdf = stream_static_enrich(stream_events(spark, events_dir), dim).groupBy(
+        "event_type"
+    ).agg({"weight": "sum", "*": "count"})
+    run_available_now_to_memory(sdf, "t_enrich")
+    got = _sorted_rows(spark.table("t_enrich"))
+    ev = table(spark, SF0001, "events")
+    want = _sorted_rows(
+        ev.join(dim, "event_type").groupBy("event_type").agg({"weight": "sum", "*": "count"})
+    )
+    assert got == want
