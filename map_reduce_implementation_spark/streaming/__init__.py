@@ -1,9 +1,12 @@
 from .windows import (
     run_available_now_to_memory,
+    run_foreach_batch_to_parquet,
     session_counts,
     sliding_counts,
-    stream_events,
     stateful_running_count,
+    stream_events,
+    stream_static_enrich,
+    streaming_dedup,
     tumbling_counts,
 )
 
@@ -13,5 +16,8 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "stateful_running_count",
+    "streaming_dedup",
+    "stream_static_enrich",
     "run_available_now_to_memory",
+    "run_foreach_batch_to_parquet",
 ]
