@@ -170,6 +170,47 @@ def minhash_lsh_pairs(
     return est.filter(F.col("est_jaccard") >= threshold)
 
 
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    step that turns near-dup PAIRS into canonical dedup GROUPS (cluster
+    id = smallest member id).
+
+    ``edges``: DataFrame[src, dst] (undirected, either orientation);
+    ``nodes``: DataFrame[node]. Returns DataFrame[node, label].
+
+    Per iteration: every node takes the min label among itself and its
+    neighbors (one join + one groupBy); converges in O(diameter)
+    rounds. ``localCheckpoint`` truncates the growing lineage each
+    round — without it the plan doubles per iteration. At 100 TB this
+    is the standard large-graph CC shape (alternating-star variants
+    converge faster on high-diameter graphs; dedup-pair graphs are
+    near-cliques, so plain propagation terminates in 2-3 rounds).
+    """
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(neigh).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash fingerprint per document.
 

@@ -223,9 +223,47 @@ FROM (
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative connected-components clustering of duplicate pairs →
+    (doc_id, cluster_id = min id in the component). Edges here are the
+    exact-dup pairs (same content hash), so the oracle is the min-id
+    window over the hash group — but the SPARK side computes it through
+    the generic graph loop (operators/dedup.py::connected_components),
+    proving the iterative surface against a closed-form oracle."""
+    from ..operators.dedup import connected_components
+
+    d = table(spark, sf, "documents")
+    groups = d.groupBy(F.md5("text").alias("h")).agg(
+        F.collect_list("doc_id").alias("ds")
+    )
+    edges = (
+        groups.filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    cc = connected_components(edges, nodes)
+    return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+SQL_DEDUP_CLUSTERS = """
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+FROM documents
+"""
+
+
 QUERIES: dict[str, Query] = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_keep_first": Query(q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
+    "dedup_clusters": Query(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None),
     "dedup_simhash": Query(q_dedup_simhash, None),

@@ -140,8 +140,53 @@ FROM events GROUP BY event_type
 """
 
 
+def q_hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (TimescaleDB continuous
+    aggregate shape): ONE scan produces hour- and day-grain aggregates
+    via GROUPING SETS on pre-computed time buckets — at 100 TB the
+    coarser grains come from the same shuffle as the finest, not from
+    re-scanning. The grain column disambiguates the resolution."""
+    ev = table(spark, sf, "events")
+    bucketed = ev.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "event_type",
+        "value",
+    )
+    bucketed.createOrReplaceTempView("_ht_rollup_src")
+    return spark.sql(
+        """
+        SELECT
+          CASE WHEN h IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
+          coalesce(h, d) AS bucket_start,
+          event_type,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM _ht_rollup_src
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
+        """
+    )
+
+
+SQL_HYPERTABLE_ROLLUP = """
+WITH src AS (
+  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d, event_type, value
+  FROM events
+)
+SELECT
+  CASE WHEN h IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
+  coalesce(h, d) AS bucket_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM src
+GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_tumbling_window": Query(q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "events_hypertable_rollup": Query(q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
     "events_sliding_window": Query(q_sliding_window, SQL_SLIDING_WINDOW),
     "events_session_window": Query(q_session_window, SQL_SESSION_WINDOW),
     "events_json_extract": Query(q_json_extract, SQL_JSON_EXTRACT),

@@ -88,3 +88,16 @@ def test_multimodal_decode_plumbing(spark):
     # deterministic fake: byte_len drives width
     for r in rows[:20]:
         assert r.width == 16 + r.byte_len % 64
+
+
+def test_connected_components_known_graph(spark):
+    """Two components incl. a 4-chain (multi-iteration propagation) and
+    an isolated node."""
+    from map_reduce_implementation_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src: long, dst: long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "node: long")
+    got = {r.node: r.label for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
