@@ -21,6 +21,7 @@ from . import (
     similarity,
     stats,
     text,
+    udfs,
 )
 
 
@@ -38,6 +39,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         similarity,
         multimodal,
+        udfs,
     ):
         for name, q in mod.QUERIES.items():
             if name in merged:
