@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_cosine_topk",
     "text_quality_score",
     "text_fingerprint",

@@ -249,6 +249,56 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def simhash_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bit-identical to :func:`simhash` (same tokenizer, same xxhash64,
+    same strict s>0 sign rule) with the 64 bit-vote sums computed
+    vectorized in numpy instead of a 64-way posexplode — the explode
+    multiplies the shuffle by 64 (measured 4.6 s at sf0.1 vs ~0.9 s
+    here). Token hashing stays JVM-side; one shuffle partitions by doc;
+    per-batch ±1 bit matrices fold via pandas groupby-sum.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    part = toks.repartition("doc_id")
+
+    def fold(it):
+        shifts = np.arange(64, dtype=np.uint64)
+        partials: list[pd.DataFrame] = []
+        for batch in it:
+            pdf = batch.to_pandas()
+            if pdf.empty:
+                continue
+            h = pdf["h"].to_numpy(np.int64).view(np.uint64)
+            bits = (((h[:, None] >> shifts[None, :]) & 1).astype(np.int32) * 2) - 1
+            g = pd.DataFrame(bits)
+            g["doc_id"] = pdf["doc_id"].to_numpy()
+            partials.append(g.groupby("doc_id", sort=False).sum())
+        if not partials:
+            return
+        sums = pd.concat(partials).groupby(level=0).sum()
+        pos = (sums.to_numpy() > 0).astype(np.uint64)
+        fp = (pos * (np.uint64(1) << shifts)).sum(axis=1, dtype=np.uint64).view(np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(sums.index.to_numpy(np.int64)), pa.array(fp)],
+            ["doc_id", "simhash"],
+        )
+
+    out = part.mapInArrow(fold, "doc_id long, simhash long")
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs among SimHash fingerprints with hamming <= k.
 

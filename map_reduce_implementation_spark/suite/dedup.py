@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import minhash_lsh_pairs, simhash
+from ..operators.dedup import minhash_lsh_pairs, simhash_arrow
 from ..sources import table
 from .base import Query
 
@@ -156,9 +156,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash per document + hamming-adjacent pair candidates.
-    Spark-only (murmur3) → rows-only check."""
+    Spark-only (xxhash64 token votes) → rows-only check; the vectorized
+    arrow path is asserted bit-identical to the pure-JVM formulation in
+    tests/test_dedup_similarity.py."""
     d = table(spark, sf, "documents")
-    return simhash(d, text_col="text", id_col="doc_id")
+    return simhash_arrow(d, text_col="text", id_col="doc_id")
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:

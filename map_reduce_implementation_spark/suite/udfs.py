@@ -35,9 +35,11 @@ def q_udaf_geomean(spark: SparkSession, sf: str) -> DataFrame:
     def geomean(v: pd.Series) -> float:
         return float(np.exp(np.log(v.to_numpy(np.float64)).mean()))
 
-    ev = table(spark, sf, "events")
+    ev = table(spark, sf, "events").filter(F.col("value") > 0)
     # NB: a GROUPED_AGG pandas UDF cannot share an agg with built-in
-    # aggregate functions (INVALID_PANDAS_UDF_PLACEMENT) — single column
+    # aggregate functions (INVALID_PANDAS_UDF_PLACEMENT) — single column.
+    # value > 0: the geometric mean is defined on positives (sf0.1 has
+    # zero-valued events; ln(0) errors in the oracle, -inf in numpy).
     return ev.groupBy("event_type").agg(
         F.round(geomean("value"), 6).alias("geomean_value")
     )
@@ -46,7 +48,7 @@ def q_udaf_geomean(spark: SparkSession, sf: str) -> DataFrame:
 SQL_UDAF_GEOMEAN = """
 SELECT event_type,
   ROUND(exp(AVG(ln(value))), 6) AS geomean_value
-FROM events GROUP BY event_type
+FROM events WHERE value > 0 GROUP BY event_type
 """
 
 

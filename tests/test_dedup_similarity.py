@@ -101,3 +101,13 @@ def test_connected_components_known_graph(spark):
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "node: long")
     got = {r.node: r.label for r in connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_simhash_arrow_matches_jvm(spark):
+    from map_reduce_implementation_spark.operators.dedup import simhash, simhash_arrow
+    from map_reduce_implementation_spark.sources import table
+
+    d = table(spark, SF001, "documents")
+    a = {r.doc_id: r.simhash for r in simhash(d).collect()}
+    b = {r.doc_id: r.simhash for r in simhash_arrow(d).collect()}
+    assert a == b and len(a) > 0

@@ -86,7 +86,10 @@ def main() -> int:
 
     qs, osql = e.queries(), e.oracle_sql()
     n_exact = n_tol = n_bad = n_rows_only = 0
+    verbose = os.environ.get("CHECK_VERBOSE", "")
     for name, fn in qs.items():
+        if verbose:
+            print(f"... {name}", flush=True)
         sdf = fn(spark, sf)
         if name not in osql:
             n_rows_only += 1
