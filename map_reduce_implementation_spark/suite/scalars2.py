@@ -186,8 +186,85 @@ def q_sample_rng(spark: SparkSession, sf: str) -> DataFrame:
     return table(spark, sf, "orders").sample(0.05, seed=42).select("o_orderkey")
 
 
+def q_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS — planned as a left-semi join; the correlation
+    is decorrelated by Catalyst into the join condition (no per-row
+    subquery execution ever happens)."""
+    for t in ("customer", "orders"):
+        table(spark, sf, t).createOrReplaceTempView(f"{t}_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_ex c
+        WHERE EXISTS (
+          SELECT 1 FROM orders_ex o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+SQL_EXISTS_SUBQUERY = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+
+def q_not_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated NOT EXISTS — the left-anti join plan (customers with
+    no orders at all)."""
+    for t in ("customer", "orders"):
+        table(spark, sf, t).createOrReplaceTempView(f"{t}_nex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_nex c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders_nex o WHERE o.o_custkey = c.c_custkey
+        )
+        """
+    )
+
+
+SQL_NOT_EXISTS_SUBQUERY = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (wide→long) via ``stack`` — the inverse of pivot: three
+    account metrics per customer melt into (metric, val) rows. Pure
+    projection+generator, no shuffle."""
+    c = table(spark, sf, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', CAST(c_acctbal AS DOUBLE), "
+        "'custkey_mod', CAST(c_custkey % 97 AS DOUBLE)) AS (metric, val)",
+    )
+
+
+SQL_UNPIVOT = """
+SELECT c_custkey, u.metric, u.val
+FROM customer
+CROSS JOIN LATERAL (
+  SELECT 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS val
+  UNION ALL
+  SELECT 'custkey_mod', CAST(c_custkey % 97 AS DOUBLE)
+) u
+"""
+
+
 QUERIES: dict[str, Query] = {
     "string_functions": Query(q_string_functions, SQL_STRING_FUNCTIONS),
+    "exists_subquery": Query(q_exists_subquery, SQL_EXISTS_SUBQUERY),
+    "not_exists_subquery": Query(q_not_exists_subquery, SQL_NOT_EXISTS_SUBQUERY),
+    "unpivot": Query(q_unpivot, SQL_UNPIVOT),
     "conditional_functions": Query(q_conditional_functions, SQL_CONDITIONAL_FUNCTIONS),
     "scalar_subquery": Query(q_scalar_subquery, SQL_SCALAR_SUBQUERY),
     "in_subquery": Query(q_in_subquery, SQL_IN_SUBQUERY),
