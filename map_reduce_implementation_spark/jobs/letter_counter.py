@@ -157,9 +157,14 @@ def read_lines(spark: SparkSession, path: str, min_partitions: int | None = None
 
     Spark's text FileScan performs the identical newline-boundary split
     adjustment (Hadoop LineRecordReader semantics), so no custom code is
-    needed; ``min_partitions`` maps the reference's split_num.
+    needed; ``min_partitions`` maps the reference's split_num — honored
+    via a JVM-side round-robin ``repartition`` (results are
+    split-invariant, tested). At real scale don't use it: scan
+    parallelism belongs to ``spark.sql.files.maxPartitionBytes``, which
+    splits WITHOUT a shuffle (it is read at action time, so it must be
+    a session setting, not a per-read one — verified empirically).
     """
+    df = spark.read.text(path)
     if min_partitions:
-        rdd = spark.sparkContext.textFile(path, minPartitions=min_partitions)
-        return spark.createDataFrame(rdd.map(lambda line: (line,)), "value: string")
-    return spark.read.text(path)
+        df = df.repartition(min_partitions)
+    return df
