@@ -62,3 +62,18 @@ def test_letter_counter_no_python_udf(spark):
     a = audit_plan(q_letter_counter(spark, SF001))
     assert not a.has_python_udf, "parity job must stay JVM-side"
     assert a.has_partial_agg, "char counting must combine map-side"
+
+
+def test_observe_quality_metrics(spark):
+    """Observation metrics ride the action — no second scan."""
+    from map_reduce_implementation_spark.operators.observe import observe_quality
+    from map_reduce_implementation_spark.sources import table
+
+    from .conftest import SF0001
+
+    c = table(spark, SF0001, "customer")
+    observed, obs = observe_quality(c, ["c_name", "c_acctbal"])
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["null_c_name"] == 0 and got["null_c_acctbal"] == 0
