@@ -44,6 +44,7 @@ HEADLINE = [
     "similarity_cosine_topk",
     "text_quality_score",
     "text_fingerprint",
+    "pipeline_curation",
 ]
 
 

@@ -201,8 +201,60 @@ def q_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return winnow_fingerprints(d).select("doc_id", "n_fingerprints")
 
 
+def q_pipeline_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """The LLM training-data curation pipeline as ONE declarative plan:
+    quality gate (token count + alpha ratio) → exact dedup keep-first on
+    the normalized fingerprint → deterministic 50% hash-sample → per-doc
+    token accounting. Catalyst fuses the gates into the scan; the only
+    shuffle is the dedup window — the whole 100 TB curation pass is one
+    scan + one shuffle. Every stage reuses an operator proven above
+    (quality_score / fingerprint / keep-first / deterministic sample)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents")
+    t = d.select("doc_id", "text", _tokens(F.col("text")).alias("toks"))
+    gated = t.filter(
+        (F.size("toks") >= 10)
+        & (
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length("text")
+            > 0.5
+        )
+    )
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sampled = deduped.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8")
+    return sampled.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        fp.alias("fingerprint"),
+    )
+
+
+SQL_PIPELINE_CURATION = """
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+gated AS (
+  SELECT * FROM t
+  WHERE len(toks) >= 10
+    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) > 0.5
+),
+deduped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated
+)
+SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, fp AS fingerprint
+FROM deduped
+WHERE rn = 1 AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+"""
+
+
 QUERIES: dict[str, Query] = {
     "text_winnow_fingerprint": Query(q_winnow_fingerprint, None),
+    "pipeline_curation": Query(q_pipeline_curation, SQL_PIPELINE_CURATION),
     "text_token_count": Query(q_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": Query(q_quality_score, SQL_QUALITY_SCORE),
     "text_lang_id": Query(q_lang_id, SQL_LANG_ID),
