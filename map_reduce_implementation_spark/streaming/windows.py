@@ -123,6 +123,19 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def top_event_types(events: DataFrame, k: int = 5) -> DataFrame:
+    """Streaming top-k: running event-type leaderboard. Sorting a stream
+    requires complete output mode (the whole result is re-emitted per
+    trigger) — correct for SMALL keyspaces like a leaderboard; for large
+    keyspaces use windowed aggs + downstream batch ranking instead."""
+    return (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(k)
+    )
+
+
 def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:
     """Stream-static join: enrich a stream against a static dimension.
 

@@ -107,3 +107,13 @@ def test_stream_static_join_equals_batch(spark, events_dir):
         ev.join(dim, "event_type").groupBy("event_type").agg({"weight": "sum", "*": "count"})
     )
     assert got == want
+
+
+def test_streaming_topk_equals_batch(spark, events_dir):
+    from map_reduce_implementation_spark.streaming.windows import top_event_types
+
+    sdf = top_event_types(stream_events(spark, events_dir))
+    run_available_now_to_memory(sdf, "t_topk", mode="complete")
+    got = [tuple(r) for r in spark.table("t_topk").collect()]
+    want = [tuple(r) for r in top_event_types(table(spark, SF0001, "events")).collect()]
+    assert got == want
