@@ -156,8 +156,36 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (``eqNullSafe`` / SQL ``<=>``): NULL keys
+    match each other instead of vanishing — the semantics needed when a
+    'bucket' key is legitimately absent. Demonstrated on per-status
+    aggregates with one status NULLed out; plans as a normal hash join
+    (null-safe keys still hash-partition)."""
+    o = table(spark, sf, "orders")
+    s = o.groupBy(F.nullif("o_orderstatus", F.lit("O")).alias("st")).agg(
+        F.count("*").alias("n")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(b, F.col("a.st").eqNullSafe(F.col("b.st"))).select(
+        F.col("a.st").alias("status"),
+        F.col("a.n").alias("n_left"),
+        F.col("b.n").alias("n_right"),
+    )
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH s AS (
+  SELECT NULLIF(o_orderstatus, 'O') AS st, COUNT(*) AS n FROM orders GROUP BY 1
+)
+SELECT a.st AS status, a.n AS n_left, b.n AS n_right
+FROM s a JOIN s b ON a.st IS NOT DISTINCT FROM b.st
+"""
+
+
 QUERIES: dict[str, Query] = {
     "cross_join": Query(q_cross_join, SQL_CROSS_JOIN),
+    "null_safe_join": Query(q_null_safe_join, SQL_NULL_SAFE_JOIN),
     "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
     "range_join": Query(q_range_join, SQL_RANGE_JOIN),
     "asof_join": Query(q_asof_join, SQL_ASOF_JOIN),
