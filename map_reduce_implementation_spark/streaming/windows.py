@@ -123,6 +123,43 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def stream_stream_click_purchase(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a same-user
+    click within ``horizon``. BOTH sides watermarked + a time-range join
+    condition — exactly what Structured Streaming needs to bound join
+    state (each side keeps only rows younger than watermark+horizon).
+    Works identically on batch frames (watermark applied only when
+    streaming), which is how the equivalence test pins semantics."""
+    c = clicks
+    p = purchases
+    if c.isStreaming:
+        c = c.withWatermark("ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("ts", watermark)
+    c = c.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = p.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("c_user", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
 def top_event_types(events: DataFrame, k: int = 5) -> DataFrame:
     """Streaming top-k: running event-type leaderboard. Sorting a stream
     requires complete output mode (the whole result is re-emitted per

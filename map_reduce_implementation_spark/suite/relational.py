@@ -373,6 +373,37 @@ FROM orders
 """
 
 
+def q_window_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking + distribution + explicit-frame window functions in one
+    pass: ntile quartiles, percent_rank, cume_dist, and first/last value
+    over a bounded ROWS frame — all share ONE window sort (single
+    shuffle on the partition key, one sort per partition)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.first_value(F.col("o_orderkey")).over(wf).alias("cheapest_key_so_far"),
+    )
+
+
+SQL_WINDOW_FRAMES = """
+SELECT o_custkey, o_orderkey,
+  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 9) AS cume,
+  FIRST_VALUE(o_orderkey) OVER
+    (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest_key_so_far
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 # --- sorts / limits / set ops / distinct ------------------------------------
 
 
@@ -519,6 +550,7 @@ QUERIES: dict[str, Query] = {
     "window_topk_per_group": Query(q_window_topk_per_group, SQL_WINDOW_TOPK_PER_GROUP),
     "window_running_sum": Query(q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
     "window_lag": Query(q_window_lag, SQL_WINDOW_LAG),
+    "window_frames": Query(q_window_frames, SQL_WINDOW_FRAMES),
     "topk_orders": Query(q_topk_orders, SQL_TOPK_ORDERS),
     "union_all": Query(q_union_all, SQL_UNION_ALL),
     "intersect": Query(q_intersect, SQL_INTERSECT),

@@ -117,3 +117,23 @@ def test_streaming_topk_equals_batch(spark, events_dir):
     got = [tuple(r) for r in spark.table("t_topk").collect()]
     want = [tuple(r) for r in top_event_types(table(spark, SF0001, "events")).collect()]
     assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    from map_reduce_implementation_spark.streaming.windows import (
+        stream_stream_click_purchase,
+    )
+
+    s = stream_events(spark, events_dir)
+    sdf = stream_stream_click_purchase(
+        s.filter("event_type = 'click'"), s.filter("event_type = 'purchase'")
+    )
+    run_available_now_to_memory(sdf, "t_ssj", mode="append")
+    got = _sorted_rows(spark.table("t_ssj"))
+    ev = table(spark, SF0001, "events")
+    want = _sorted_rows(
+        stream_stream_click_purchase(
+            ev.filter("event_type = 'click'"), ev.filter("event_type = 'purchase'")
+        )
+    )
+    assert got == want and len(want) > 0
