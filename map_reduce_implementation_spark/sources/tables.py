@@ -79,6 +79,26 @@ def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """The Avro DataSource lives in the external spark-avro module
+    (--packages org.apache.spark:spark-avro_2.13:<ver> on a cluster);
+    the bare pyspark wheel ships only the Avro format jars, not the
+    datasource, so reads/writes are gated on a cheap probe."""
+    try:
+        spark.read.format("avro").schema("x int").load("/nonexistent__probe__")
+        return True
+    except Exception as ex:  # noqa: BLE001 — classify by message
+        return "Failed to find data source" not in str(ex)
+
+
+def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.format("avro").options(**options).load(path)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    df.write.format("avro").mode("overwrite").save(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

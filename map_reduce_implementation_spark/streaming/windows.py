@@ -113,6 +113,92 @@ def stateful_running_count(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def tws_available() -> bool:
+    """transformWithState's Python state client speaks protobuf to the
+    JVM state server; without the protobuf wheel the driver worker cannot
+    start. Plan construction works either way — only execution needs it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_running_stats_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 arbitrary-state operator (transformWithStateInPandas):
+    per-user running count/sum/max held in a ValueState, one updated row
+    emitted per key per micro-batch.
+
+    This is the successor API to applyInPandasWithState (see
+    stateful_running_count above): typed state variables (value/list/map),
+    timers, TTL, and state-schema evolution — all backed by the RocksDB
+    state store provider, which the session must enable:
+
+        spark.sql.streaming.stateStore.providerClass =
+          org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+
+    At 100 TB-stream scale state is partitioned by the grouping key across
+    executors and RocksDB spills it to local disk + changelog-checkpoints
+    to the checkpoint location, so per-key state is O(1) memory.
+
+    Requires the protobuf wheel at runtime (gate with tws_available());
+    the container this repo is tested in lacks it, so the execution test
+    is skipped there and the plan/schema are asserted instead."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    state_schema = T.StructType(
+        [
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sm", T.DoubleType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("stats", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, sm, mx = (0, 0.0, float("-inf"))
+            if self._st.exists():
+                cnt, sm, mx = self._st.get()
+            for pdf in rows:
+                cnt += len(pdf)
+                sm += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._st.update((cnt, sm, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "total_value": [sm],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id with watermark-bounded state —
     the streaming twin of dedup_exact. State is dropped once the

@@ -3,6 +3,8 @@ writes with partition pruning, single-file text sink parity."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from map_reduce_implementation_spark.plans import audit_plan
@@ -114,3 +116,21 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_avro_round_trip_or_gated(spark, tmp_path):
+    from map_reduce_implementation_spark.sources.tables import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    nation = table(spark, SF0001, "nation")
+    if not avro_available(spark):
+        # bare pyspark wheel: datasource absent — helper must say so
+        with pytest.raises(Exception, match="Failed to find data source"):
+            write_avro(nation, str(tmp_path / "n.avro"))
+        return
+    write_avro(nation, str(tmp_path / "n.avro"))
+    back = read_avro(spark, str(tmp_path / "n.avro"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))

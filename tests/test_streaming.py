@@ -119,6 +119,44 @@ def test_streaming_topk_equals_batch(spark, events_dir):
     assert got == want
 
 
+def test_transform_with_state_plan_and_maybe_run(spark, events_dir):
+    from map_reduce_implementation_spark.streaming.windows import (
+        TWS_OUT_SCHEMA,
+        stateful_running_stats_tws,
+        tws_available,
+    )
+
+    s = stream_events(spark, events_dir)
+    sdf = stateful_running_stats_tws(s)
+    # plan construction + output schema work regardless of protobuf
+    assert sdf.isStreaming and sdf.schema == TWS_OUT_SCHEMA
+    assert "transformWithState" in sdf._jdf.queryExecution().logical().toString()
+    if not tws_available():
+        pytest.skip("protobuf wheel absent: transformWithState cannot execute here")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_available_now_to_memory(sdf, "t_tws", mode="update")
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 6), r.max_value)
+            for r in spark.table("t_tws").collect()
+        }
+        ev = table(spark, SF0001, "events")
+        from pyspark.sql import functions as F
+
+        want = {
+            r.user_id: (r.n, round(r.s, 6), r.m)
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"), F.max("value").alias("m"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_stream_stream_join_equals_batch(spark, events_dir):
     from map_reduce_implementation_spark.streaming.windows import (
         stream_stream_click_purchase,
