@@ -105,10 +105,90 @@ GROUP BY user_id HAVING COUNT(*) > 80
 """
 
 
+def q_agg_extras(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-set / boolean / bitwise aggregate surface: median,
+    count_if, bool_and/or, bit_and/or/xor, deterministic mode.
+    All JVM hash aggregates — one shuffle on the group key.
+    mode(col, deterministic=True) ties-break to the lowest value,
+    matching DuckDB's mode(x ORDER BY x)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_huge"),
+        F.bit_and("l_linenumber").alias("ln_and"),
+        F.bit_or("l_linenumber").alias("ln_or"),
+        F.bit_xor("l_linenumber").alias("ln_xor"),
+        F.mode("l_linestatus", True).alias("top_status"),
+    )
+
+
+SQL_AGG_EXTRAS = """
+SELECT l_returnflag,
+  ROUND(median(l_quantity), 6) AS med_qty,
+  count_if(l_quantity > 25) AS n_big,
+  bool_and(l_quantity > 0) AS all_pos,
+  bool_or(l_quantity > 49) AS any_huge,
+  bit_and(l_linenumber) AS ln_and,
+  bit_or(l_linenumber) AS ln_or,
+  bit_xor(l_linenumber) AS ln_xor,
+  mode(l_linestatus ORDER BY l_linestatus) AS top_status
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_regr_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-regression aggregates (price vs quantity per flag) — the
+    one-pass moment accumulators (count, sums, co-moments) Spark merges
+    map-side, so the shuffle carries O(groups) not O(rows)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 9).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 6).alias("avg_x"),
+        F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 6).alias("avg_y"),
+    )
+
+
+SQL_REGR_AGG = """
+SELECT l_returnflag,
+  ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+  ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+  ROUND(regr_r2(l_extendedprice, l_quantity), 9) AS r2,
+  regr_count(l_extendedprice, l_quantity) AS n,
+  ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+  ROUND(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2016 LISTAGG ... WITHIN GROUP,
+    Spark 4). Per-group ordered concat requires a sort within each
+    group's partial state — fine for small groups (names per region);
+    for huge groups prefer collect_list + downstream processing."""
+    n = table(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("names")
+    )
+
+
+SQL_LISTAGG = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_agg": Query(q_stats_agg, SQL_STATS_AGG),
     "percentiles": Query(q_percentiles, SQL_PERCENTILES),
     "grouping_sets": Query(q_grouping_sets, SQL_GROUPING_SETS),
     "approx_distinct": Query(q_approx_distinct, None),
     "having": Query(q_having, SQL_HAVING),
+    "agg_extras": Query(q_agg_extras, SQL_AGG_EXTRAS),
+    "regr_agg": Query(q_regr_agg, SQL_REGR_AGG),
+    "listagg": Query(q_listagg, SQL_LISTAGG),
 }
