@@ -155,6 +155,86 @@ def feature_extract_stub(df_with_payload: DataFrame, dim: int = 16) -> DataFrame
     return df_with_payload.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+MEDIA_STRUCT = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def with_media_metadata(df_with_payload: DataFrame) -> DataFrame:
+    """Canonical typed media metadata as ONE struct column next to the
+    opaque payload — the schema a 100 TB multimodal lake standardizes on
+    (modality + mime + per-modality dims, NULL where not applicable).
+
+    Stays entirely JVM-side (CASE/arithmetic on byte length), so it is
+    exactly oracle-checkable; in production the same struct is populated
+    by the decode kernel instead. Partition the lake by ``modality``
+    (write_parquet(..., partition_by=["media.modality"]) after projecting
+    the field out) so per-modality pipelines prune at the scan."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    is_img = modality == "image"
+    is_aud = modality == "audio"
+    bl = F.col("byte_len").cast("long")
+    return df_with_payload.withColumn(
+        "media",
+        F.struct(
+            modality.alias("modality"),
+            F.concat(
+                F.when(is_img, F.lit("image/")).when(is_aud, F.lit("audio/")).otherwise(F.lit("video/")),
+                F.when(is_img, F.lit("png")).when(is_aud, F.lit("wav")).otherwise(F.lit("mp4")),
+            ).alias("mime"),
+            F.when(~is_aud, (F.lit(16) + bl % 64).cast("int")).alias("width"),
+            F.when(~is_aud, (F.lit(16) + (bl / 64).cast("long") % 64).cast("int")).alias("height"),
+            F.when(~is_img, bl * 10).alias("duration_ms"),
+            F.when(is_aud, F.lit(16000)).alias("sample_rate"),
+        ),
+    )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_decode_stub(df_with_payload: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Audio-decode stand-in (real path: soundfile/torchaudio per Arrow
+    batch): treats payload bytes as int8 PCM, emits sample count + RMS
+    loudness. Deterministic — no codec libs in this container."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ns, rms = [], []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.int8).astype(np.float64)
+                ns.append(len(arr))
+                rms.append(float(np.sqrt(np.mean(arr * arr))) if len(arr) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": sample_rate,
+                    "n_samples": ns,
+                    "rms": rms,
+                }
+            )
+
+    return df_with_payload.mapInPandas(batches, AUDIO_SCHEMA)
+
+
 def frame_sample_stub(df_with_payload: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Video-style frame sampling stand-in: emit one row per sampled
     'frame' offset (posexplode of byte offsets). Real path: ffmpeg

@@ -70,8 +70,60 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.size("feature").alias("dim"))
 
 
+def q_multimodal_typed_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical media struct (modality/mime/dims/duration/sample_rate),
+    flattened for the oracle compare. All JVM CASE/arithmetic — the
+    production shape has the decode kernel fill the same struct."""
+    from ..operators.multimodal import with_media_metadata
+
+    d = with_media_metadata(with_binary_payload(table(spark, sf, "documents")))
+    return d.select(
+        "doc_id",
+        F.col("media.modality").alias("modality"),
+        F.col("media.mime").alias("mime"),
+        F.col("media.width").alias("width"),
+        F.col("media.height").alias("height"),
+        F.col("media.duration_ms").alias("duration_ms"),
+        F.col("media.sample_rate").alias("sample_rate"),
+    )
+
+
+SQL_MULTIMODAL_TYPED_METADATA = """
+WITH p AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bl,
+    CAST(doc_id % 3 AS INTEGER) AS m
+  FROM documents
+)
+SELECT doc_id,
+  CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+  CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+  CASE WHEN m <> 1 THEN CAST(16 + bl % 64 AS INTEGER) END AS width,
+  CASE WHEN m <> 1 THEN CAST(16 + (bl // 64) % 64 AS INTEGER) END AS height,
+  CASE WHEN m <> 0 THEN bl * 10 END AS duration_ms,
+  CASE WHEN m = 1 THEN 16000 END AS sample_rate
+FROM p
+"""
+
+
+def q_multimodal_audio_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-decode stub over the audio-modality slice: the modality
+    partition filter happens BEFORE the Python kernel, so only 1/3 of
+    payload bytes cross the Arrow boundary. Rows-only (int8 PCM
+    reinterpretation is not SQL-expressible); determinism in tests."""
+    from ..operators.multimodal import audio_decode_stub, with_media_metadata
+
+    d = with_media_metadata(with_binary_payload(table(spark, sf, "documents")))
+    aud = d.filter(F.col("media.modality") == "audio")
+    out = audio_decode_stub(aud)
+    return out.select("doc_id", "sample_rate", "n_samples", F.round("rms", 6).alias("rms"))
+
+
 QUERIES: dict[str, Query] = {
     "multimodal_metadata": Query(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
+    "multimodal_typed_metadata": Query(
+        q_multimodal_typed_metadata, SQL_MULTIMODAL_TYPED_METADATA
+    ),
+    "multimodal_audio_decode": Query(q_multimodal_audio_decode, None),
     "multimodal_decode": Query(q_multimodal_decode, None),
     "multimodal_frame_sample": Query(q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE),
     "multimodal_resize": Query(q_multimodal_resize, None),

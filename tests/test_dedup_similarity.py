@@ -90,6 +90,20 @@ def test_multimodal_decode_plumbing(spark):
         assert r.width == 16 + r.byte_len % 64
 
 
+def test_multimodal_audio_decode_deterministic(spark):
+    from map_reduce_implementation_spark.suite.multimodal import (
+        q_multimodal_audio_decode,
+    )
+
+    out = q_multimodal_audio_decode(spark, SF001)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows and all(d % 3 == 1 for d in rows)  # audio slice only
+    assert all(r.sample_rate == 16000 and r.n_samples > 0 for r in rows.values())
+    # deterministic kernel: rerun must produce identical rms values
+    again = {r.doc_id: r.rms for r in q_multimodal_audio_decode(spark, SF001).collect()}
+    assert again == {d: r.rms for d, r in rows.items()}
+
+
 def test_connected_components_known_graph(spark):
     """Two components incl. a 4-chain (multi-iteration propagation) and
     an isolated node."""

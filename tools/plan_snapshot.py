@@ -33,6 +33,7 @@ PYTHON_OK = {
     "multimodal_resize",
     "multimodal_features",
     "text_winnow_fingerprint",
+    "multimodal_audio_decode",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "letter_counter",
