@@ -184,8 +184,45 @@ GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
 """
 
 
+def q_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap filling: hourly purchase counts over a dense
+    hourly spine (sequence + explode), zero-filled where no events.
+    The spine is O(hours) — tiny — so the left join broadcasts it; the
+    only O(rows) work is the pre-aggregation, which combines map-side."""
+    ev = table(spark, sf, "events")
+    counts = ev.filter(F.col("event_type") == "purchase").groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"))
+    )
+    return spine.join(counts, "h", "left").select(
+        "h", F.coalesce("n", F.lit(0)).alias("n_purchases")
+    )
+
+
+SQL_GAP_FILL = """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+c AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT s.h AS h, COALESCE(c.n, 0) AS n_purchases
+FROM s LEFT JOIN c USING (h)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_tumbling_window": Query(q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "events_gap_fill": Query(q_gap_fill, SQL_GAP_FILL),
     "events_hypertable_rollup": Query(q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
     "events_sliding_window": Query(q_sliding_window, SQL_SLIDING_WINDOW),
     "events_session_window": Query(q_session_window, SQL_SESSION_WINDOW),

@@ -183,8 +183,40 @@ FROM s a JOIN s b ON a.st IS NOT DISTINCT FROM b.st
 """
 
 
+def q_lateral_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999): top-2 customers by balance
+    per nation. Catalyst decorrelates this into a window-ranked join —
+    same physical shape as the QUALIFY/top-k-per-group pattern, so it
+    scales as one shuffle on the correlation key, NOT a per-row subquery."""
+    table(spark, sf, "nation").createOrReplaceTempView("nation_lat")
+    table(spark, sf, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lat n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        """
+    )
+
+
+SQL_LATERAL_JOIN = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
 QUERIES: dict[str, Query] = {
     "cross_join": Query(q_cross_join, SQL_CROSS_JOIN),
+    "lateral_join": Query(q_lateral_join, SQL_LATERAL_JOIN),
     "null_safe_join": Query(q_null_safe_join, SQL_NULL_SAFE_JOIN),
     "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
     "range_join": Query(q_range_join, SQL_RANGE_JOIN),

@@ -404,6 +404,28 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def q_histogram_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of order totals (10k-wide bins). Binning is a
+    projection, so the aggregate shuffles only (bin → count) pairs —
+    the classic map-side-combine shape that stays O(bins) at any SF."""
+    o = table(spark, sf, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / F.lit(10000)).cast("long")
+    return o.groupBy(bin_col.alias("bin")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 6).alias("lo"),
+        F.round(F.max("o_totalprice"), 6).alias("hi"),
+    )
+
+
+SQL_HISTOGRAM_BINS = """
+SELECT CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS bin,
+  COUNT(*) AS n_orders,
+  ROUND(MIN(o_totalprice), 6) AS lo,
+  ROUND(MAX(o_totalprice), 6) AS hi
+FROM orders GROUP BY 1
+"""
+
+
 # --- sorts / limits / set ops / distinct ------------------------------------
 
 
@@ -556,6 +578,7 @@ QUERIES: dict[str, Query] = {
     "intersect": Query(q_intersect, SQL_INTERSECT),
     "except_": Query(q_except, SQL_EXCEPT),
     "distinct": Query(q_distinct, SQL_DISTINCT),
+    "histogram_bins": Query(q_histogram_bins, SQL_HISTOGRAM_BINS),
     "scalar_functions": Query(q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "datetime_functions": Query(q_datetime_functions, SQL_DATETIME_FUNCTIONS),
 }

@@ -260,8 +260,36 @@ CROSS JOIN LATERAL (
 """
 
 
+def q_try_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Error-safe arithmetic/casts (try_divide / try_cast): NULL instead
+    of a failed 100 TB job at row 3 billion. This session runs ANSI mode
+    (spark.sql.ansi.enabled=true) where plain ops THROW on overflow and
+    zero-division — try_* is the designed per-expression escape hatch."""
+    li = table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - F.lit(25)), 6
+        ).alias("ratio_or_null"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("ln_roundtrip"),
+    )
+
+
+SQL_TRY_FUNCTIONS = """
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_quantity = 25 THEN NULL
+       ELSE ROUND(l_extendedprice / (l_quantity - 25), 6) END AS ratio_or_null,
+  TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+  TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS ln_roundtrip
+FROM lineitem
+"""
+
+
 QUERIES: dict[str, Query] = {
     "string_functions": Query(q_string_functions, SQL_STRING_FUNCTIONS),
+    "try_functions": Query(q_try_functions, SQL_TRY_FUNCTIONS),
     "exists_subquery": Query(q_exists_subquery, SQL_EXISTS_SUBQUERY),
     "not_exists_subquery": Query(q_not_exists_subquery, SQL_NOT_EXISTS_SUBQUERY),
     "unpivot": Query(q_unpivot, SQL_UNPIVOT),

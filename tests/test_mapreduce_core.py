@@ -77,10 +77,10 @@ def test_letter_counter_map_reduce_property(text, nsplits):
         max_size=20,
     ),
     word=st.text(
-        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
         min_size=1,
         max_size=6,
-    ).filter(lambda w: w.isascii()),
+    ),
 )
 def test_word_finder_map_matches_regex_oracle(lines, word):
     import re
