@@ -180,6 +180,59 @@ SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 20 = 0
 """
 
 
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: per-class keep rates (all
+    purchases, 1/4 of clicks, 1/20 of views) via hash-mod on the event
+    id. The training-data rebalancing pattern: reproducible membership
+    under re-runs AND repartitioning, unlike df.stat.sampleBy's RNG.
+    One scan, no shuffle — the predicate is a pure projection."""
+    ev = table(spark, sf, "events")
+    rate = (
+        F.when(F.col("event_type") == "purchase", 1)
+        .when(F.col("event_type") == "click", 4)
+        .otherwise(20)
+    )
+    return ev.filter(F.pmod(F.col("event_id"), rate) == 0).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT event_id, event_type, user_id
+FROM events
+WHERE event_id % (CASE event_type WHEN 'purchase' THEN 1
+                  WHEN 'click' THEN 4 ELSE 20 END) = 0
+"""
+
+
+def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): key = u^(1/w) with a HASH-derived uniform u instead
+    of an RNG, top-k by key. Longer documents are proportionally more
+    likely to be kept — the data-mixing knob of a curation pipeline —
+    yet membership is exactly reproducible on any cluster layout.
+    Top-k is TakeOrderedAndProject: no global sort at scale."""
+    d = table(spark, sf, "documents")
+    u = (F.pmod(F.col("doc_id"), F.lit(1000003)) * 2654435761 % 4294967296) / 4294967296.0
+    w = F.octet_length("text").cast("double")
+    key = F.round(F.pow(u, 1.0 / w), 9)
+    return (
+        d.select("doc_id", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+SQL_SAMPLE_WEIGHTED = """
+SELECT doc_id,
+  ROUND(POW(((doc_id % 1000003) * 2654435761 % 4294967296) / 4294967296.0,
+            1.0 / octet_length(encode(text))), 9) AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def q_sample_rng(spark: SparkSession, sf: str) -> DataFrame:
     """Bernoulli df.sample (seeded) — partition-order-dependent RNG →
     rows-only check."""
@@ -299,5 +352,7 @@ QUERIES: dict[str, Query] = {
     "union_by_name": Query(q_union_by_name, SQL_UNION_BY_NAME),
     "explode_tokens": Query(q_explode_tokens, SQL_EXPLODE_TOKENS),
     "sample_deterministic": Query(q_sample_deterministic, SQL_SAMPLE_DETERMINISTIC),
+    "sample_stratified": Query(q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "sample_weighted": Query(q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "sample_rng": Query(q_sample_rng, None),
 }

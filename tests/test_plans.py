@@ -77,3 +77,37 @@ def test_observe_quality_metrics(spark):
     got = obs.get
     assert got["n_rows"] == n
     assert got["null_c_name"] == 0 and got["null_c_acctbal"] == 0
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """With the big-cluster confs on, a selective dim filter must inject
+    a bloom semi-join filter into the fact scan side."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_implementation_spark.operators.runtime_filters import runtime_bloom
+    from map_reduce_implementation_spark.sources import table
+
+    o = table(spark, SF001, "orders")
+    li = table(spark, SF001, "lineitem")
+    sel = o.filter(F.col("o_totalprice") > 400000)
+
+    def build():
+        return (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+    try:
+        with runtime_bloom(spark):
+            filtered = build()
+            plan = filtered._jdf.queryExecution().executedPlan().toString()
+            assert "bloom_filter_agg" in plan, "bloom filter not injected"
+            want = sorted(map(tuple, build().collect()))
+        plain_plan = build()._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" not in plain_plan, "conf leak: bloom stayed on"
+        got = sorted(map(tuple, filtered.collect()))
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
