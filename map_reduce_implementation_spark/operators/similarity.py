@@ -222,6 +222,60 @@ def ivf_topk(
     )
 
 
+def similarity_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    method: str = "auto",
+    exact_row_budget: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Strategy-chooser facade over the three top-k implementations —
+    the SURVEY §7 'similarity-join → LSH rewrite' as a planner function
+    rather than a Catalyst rule (the rewrite decision needs a cardinality
+    estimate, which lives naturally at plan-construction time here).
+
+    method='auto' picks:
+      - brute-force exact scan when the estimated row count fits
+        ``exact_row_budget`` (exact answers are strictly better when the
+        scan is affordable — at 1M rows × 64 dims that's one ~0.5 GB
+        columnar pass, well under a single-stage budget);
+      - IVF (coarse k-means cells, nprobe probing) above the budget —
+        at 100 TB the cell becomes a partition column and the probe a
+        partition-pruned scan of nprobe/n_cells of the data.
+    'exact' | 'ivf' | 'lsh' force a specific strategy.
+
+    The cardinality estimate uses the optimized logical plan's stats
+    (parquet row-count metadata — no job is run), the same signal AQE
+    uses for its runtime decisions.
+    """
+    if method == "auto":
+        est = estimated_rows(embeddings)
+        method = "exact" if est is not None and est <= exact_row_budget else "ivf"
+    if method == "exact":
+        return cosine_topk(embeddings, query_vec, k, id_col, vec_col, **kwargs)
+    if method == "ivf":
+        return ivf_topk(embeddings, query_vec, k, id_col=id_col, vec_col=vec_col, **kwargs)
+    if method == "lsh":
+        return ann_lsh_topk(embeddings, query_vec, k, id_col=id_col, vec_col=vec_col, **kwargs)
+    raise ValueError(f"unknown method {method!r} (auto|exact|ivf|lsh)")
+
+
+def estimated_rows(df: DataFrame) -> int | None:
+    """Catalyst's row-count estimate from the optimized plan's statistics
+    (file metadata / size-based heuristics — no execution)."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()  # noqa: SLF001
+    opt = stats.rowCount()
+    if opt.isDefined():
+        return int(str(opt.get()))
+    # size-only estimate: assume ~8 bytes/cell as a coarse floor
+    size = int(str(stats.sizeInBytes()))
+    n_cols = max(1, len(df.columns))
+    return size // (8 * n_cols) if size > 0 else None
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

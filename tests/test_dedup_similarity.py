@@ -125,3 +125,23 @@ def test_simhash_arrow_matches_jvm(spark):
     a = {r.doc_id: r.simhash for r in simhash(d).collect()}
     b = {r.doc_id: r.simhash for r in simhash_arrow(d).collect()}
     assert a == b and len(a) > 0
+
+
+def test_similarity_strategy_chooser(spark):
+    from map_reduce_implementation_spark.operators.similarity import (
+        cosine_topk,
+        estimated_rows,
+        similarity_topk,
+    )
+    from map_reduce_implementation_spark.sources import table
+
+    emb = table(spark, SF001, "embeddings")
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    assert estimated_rows(emb) > 0
+    # under budget → exact: identical to brute force
+    auto = [tuple(r) for r in similarity_topk(emb, q, 5).collect()]
+    exact = [tuple(r) for r in cosine_topk(emb, q, 5).collect()]
+    assert auto == exact
+    # over (zero) budget → IVF probe path: top-1 (the query itself) kept
+    ivf = [tuple(r) for r in similarity_topk(emb, q, 5, exact_row_budget=0).collect()]
+    assert ivf[0][0] == exact[0][0] and len(ivf) <= 5
