@@ -404,6 +404,61 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def q_custdist(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts —
+    LEFT join (zero-order customers count at 0) then a second aggregation
+    over the first's result. Two shuffles by construction (different
+    keys); the second input is already tiny (one row per customer)."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_CUSTDIST = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): for each order,
+    how many same-customer orders fall within ±5000 of its price. RANGE
+    frames cost the same one sort as ROWS frames — the frame bound is
+    resolved by scanning the ordered partition."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-5000, 5000)
+    )
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_near_price"),
+        F.round(F.avg("o_totalprice").over(w), 6).alias("avg_near_price"),
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = """
+SELECT o_custkey, o_orderkey,
+  COUNT(*) OVER w AS n_near_price,
+  ROUND(AVG(o_totalprice) OVER w, 6) AS avg_near_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
+"""
+
+
 def q_histogram_bins(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-width histogram of order totals (10k-wide bins). Binning is a
     projection, so the aggregate shuffles only (bin → count) pairs —
@@ -579,6 +634,8 @@ QUERIES: dict[str, Query] = {
     "except_": Query(q_except, SQL_EXCEPT),
     "distinct": Query(q_distinct, SQL_DISTINCT),
     "histogram_bins": Query(q_histogram_bins, SQL_HISTOGRAM_BINS),
+    "custdist": Query(q_custdist, SQL_CUSTDIST),
+    "window_range_frame": Query(q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "scalar_functions": Query(q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "datetime_functions": Query(q_datetime_functions, SQL_DATETIME_FUNCTIONS),
 }

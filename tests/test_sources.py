@@ -134,3 +134,20 @@ def test_avro_round_trip_or_gated(spark, tmp_path):
     write_avro(nation, str(tmp_path / "n.avro"))
     back = read_avro(spark, str(tmp_path / "n.avro"))
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema-evolution read: files written at different schema versions
+    unify under mergeSchema (new columns NULL-filled for old files) —
+    the lake-append pattern a long-lived 100 TB dataset lives with."""
+    p = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id: long, name: string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 3.5)], "id: long, name: string, score: double"
+    )
+    v1.write.mode("append").parquet(p)
+    v2.write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 3.5)}
