@@ -252,8 +252,53 @@ WHERE rn = 1 AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
 """
 
 
+def q_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicated bigrams
+    per document (1 - distinct/total). High values flag boilerplate and
+    degenerate generations — a standard pre-training quality gate.
+    Pure array expressions (zip of shifted token slices), no explode:
+    per-row work stays inside whole-stage codegen, zero shuffles."""
+    from ..functions import tokens
+
+    d = table(spark, sf, "documents")
+    ts = tokens("text")
+    n = F.size(ts)
+    bigrams = F.zip_with(
+        F.slice(ts, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    total = F.size(bigrams)
+    rep = F.when(
+        total > 0,
+        F.round(1.0 - F.size(F.array_distinct(bigrams)) / total, 9),
+    ).otherwise(F.lit(0.0))
+    return d.select("doc_id", total.alias("n_bigrams"), rep.alias("rep_frac"))
+
+
+SQL_REPETITION_SCORE = """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(ts), 1)),
+                   i -> ts[i] || ' ' || ts[i + 1]) AS bg
+  FROM t
+)
+SELECT doc_id, CAST(len(bg) AS INTEGER) AS n_bigrams,
+  CASE WHEN len(bg) > 0
+       THEN ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 9)
+       ELSE 0.0 END AS rep_frac
+FROM b
+"""
+
+
 QUERIES: dict[str, Query] = {
     "text_winnow_fingerprint": Query(q_winnow_fingerprint, None),
+    "text_repetition_score": Query(q_repetition_score, SQL_REPETITION_SCORE),
     "pipeline_curation": Query(q_pipeline_curation, SQL_PIPELINE_CURATION),
     "text_token_count": Query(q_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": Query(q_quality_score, SQL_QUALITY_SCORE),
