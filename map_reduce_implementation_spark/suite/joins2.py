@@ -109,6 +109,49 @@ FROM enriched WHERE event_type = 'purchase'
 """
 
 
+def q_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of: for every 'view', the NEXT 'purchase' by the same
+    user (conversion attribution). Mirror of q_asof_join with an
+    unbounded-FOLLOWING frame and min — still one shuffle on user_id."""
+    ev = table(spark, sf, "events")
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("purchase_ts"),
+    ).filter(F.col("event_type").isin("view", "purchase"))
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    enriched = tagged.withColumn("next_purchase_ts", F.min("purchase_ts").over(win))
+    return enriched.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts", "next_purchase_ts"
+    )
+
+
+SQL_ASOF_JOIN_FORWARD = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN event_type = 'purchase' THEN ts END AS purchase_ts
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+enriched AS (
+  SELECT user_id, event_id, ts, event_type,
+    MIN(purchase_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      AS next_purchase_ts
+  FROM tagged
+)
+SELECT user_id, event_id AS view_id, ts, next_purchase_ts
+FROM enriched WHERE event_type = 'view'
+"""
+
+
 def q_array_functions(spark: SparkSession, sf: str) -> DataFrame:
     """Array scalar surface over the embedding column."""
     e = table(spark, sf, "embeddings")
@@ -221,5 +264,6 @@ QUERIES: dict[str, Query] = {
     "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
     "range_join": Query(q_range_join, SQL_RANGE_JOIN),
     "asof_join": Query(q_asof_join, SQL_ASOF_JOIN),
+    "asof_join_forward": Query(q_asof_join_forward, SQL_ASOF_JOIN_FORWARD),
     "array_functions": Query(q_array_functions, SQL_ARRAY_FUNCTIONS),
 }

@@ -296,9 +296,56 @@ FROM b
 """
 
 
+def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-50 bigrams by document
+    frequency — the vocabulary/contamination census of a training
+    corpus. Per-doc dedup (array_distinct) happens BEFORE the explode,
+    the aggregate combines map-side, and the final top-k is
+    TakeOrderedAndProject — shuffle carries (bigram, partial count)
+    pairs only, never raw text."""
+    from ..functions import tokens
+
+    d = table(spark, sf, "documents")
+    ts = tokens("text")
+    n = F.size(ts)
+    bigrams = F.zip_with(
+        F.slice(ts, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(F.array_distinct(bigrams)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+SQL_TOP_BIGRAMS = """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(ts), 1)),
+                                 i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM t
+)
+SELECT u.bigram AS bigram, COUNT(*) AS doc_freq
+FROM b, unnest(bg) AS u(bigram)
+GROUP BY u.bigram
+ORDER BY doc_freq DESC, bigram ASC
+LIMIT 50
+"""
+
+
 QUERIES: dict[str, Query] = {
     "text_winnow_fingerprint": Query(q_winnow_fingerprint, None),
     "text_repetition_score": Query(q_repetition_score, SQL_REPETITION_SCORE),
+    "text_top_bigrams": Query(q_top_bigrams, SQL_TOP_BIGRAMS),
     "pipeline_curation": Query(q_pipeline_curation, SQL_PIPELINE_CURATION),
     "text_token_count": Query(q_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": Query(q_quality_score, SQL_QUALITY_SCORE),
