@@ -182,8 +182,44 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def q_group_by_all(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ALL (modern SQL sugar: every non-aggregate select column
+    becomes a grouping key) — same Catalyst plan as the explicit list."""
+    table(spark, sf, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders_gba GROUP BY ALL
+        """
+    )
+
+
+SQL_GROUP_BY_ALL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY ALL
+"""
+
+
+def q_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the mergeable
+    one-pass quantile estimator for 100 TB (exact percentile needs a
+    per-group sort/collect). Sketches are engine-specific → rows-only
+    driver check; accuracy vs the exact percentile asserted in tests."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50_approx"),
+        F.expr("approx_percentile(l_extendedprice, array(0.9, 0.99), 1000)").alias(
+            "p_tail_approx"
+        ),
+    )
+
+
 QUERIES: dict[str, Query] = {
     "stats_agg": Query(q_stats_agg, SQL_STATS_AGG),
+    "group_by_all": Query(q_group_by_all, SQL_GROUP_BY_ALL),
+    "approx_percentile": Query(q_approx_percentile, None),
     "percentiles": Query(q_percentiles, SQL_PERCENTILES),
     "grouping_sets": Query(q_grouping_sets, SQL_GROUPING_SETS),
     "approx_distinct": Query(q_approx_distinct, None),

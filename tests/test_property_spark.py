@@ -53,3 +53,25 @@ def test_finder_matches_regex_oracle(spark, tmp_path, seed):
         want = sorted(ln for ln in lines if pat.search(ln))
         got = sorted(r.value for r in word_finder(spark, str(p), word).collect())
         assert got == want, f"seed={seed} word={word}"
+
+
+def test_approx_percentile_accuracy(spark):
+    """GK sketch p50 must land within 5% relative of the exact p50."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_implementation_spark.sources import table
+
+    from .conftest import SF001
+
+    li = table(spark, SF001, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) / r.exact < 0.05
