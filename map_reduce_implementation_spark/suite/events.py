@@ -220,9 +220,35 @@ FROM s LEFT JOIN c USING (h)
 """
 
 
+def q_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of streaming/windows.py::stream_stream_click_purchase
+    (purchases attributed to a same-user click within 1 hour) — the SAME
+    function runs as a watermarked stream-stream join in streaming mode;
+    this oracle pins its semantics. Equi-key on user + time-range
+    predicate: shuffles once on user_id."""
+    from ..streaming.windows import stream_stream_click_purchase
+
+    ev = table(spark, sf, "events")
+    return stream_stream_click_purchase(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+SQL_CLICK_ATTRIBUTION = """
+SELECT c.user_id AS c_user, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_tumbling_window": Query(q_tumbling_window, SQL_TUMBLING_WINDOW),
     "events_gap_fill": Query(q_gap_fill, SQL_GAP_FILL),
+    "events_click_attribution": Query(q_click_attribution, SQL_CLICK_ATTRIBUTION),
     "events_hypertable_rollup": Query(q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
     "events_sliding_window": Query(q_sliding_window, SQL_SLIDING_WINDOW),
     "events_session_window": Query(q_session_window, SQL_SESSION_WINDOW),
