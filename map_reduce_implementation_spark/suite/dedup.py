@@ -86,7 +86,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
     100 TB: hot shingles (boilerplate) give quadratic posting lists —
     cap with ``max_df`` (stop-shingle drop, standard practice); uncapped
-    here so the DuckDB oracle (plain self-join) matches exactly."""
+    here so the DuckDB oracle (plain self-join) matches exactly.
+
+    Measured dead end (kept as a warning): carrying the per-doc shingle
+    count THROUGH the explode (struct- or bit-packed into the posting
+    list) to skip the sizes branch + joins is 4× SLOWER at sf0.1 —
+    CollapseProject inlines the bound gram-array column into every
+    expression that references it, re-evaluating the whole
+    tokenize→hash→distinct pipeline per reference inside one stage.
+    Two branches over one cheap scan beat one branch that computes the
+    array twice per row."""
     sh = _shingles(spark, sf, 5)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     posts = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds")).filter(
