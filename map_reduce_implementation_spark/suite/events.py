@@ -245,10 +245,53 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+_RECURSIVE_CHAINS = """
+WITH RECURSIVE nxt AS (
+  SELECT user_id, event_id, ts,
+    LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM {src}
+),
+edges AS (
+  SELECT event_id, next_id FROM nxt
+  WHERE next_id IS NOT NULL AND next_ts <= ts + INTERVAL 10 MINUTE
+),
+starts AS (
+  SELECT event_id FROM nxt n
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.next_id = n.event_id)
+),
+walk AS (
+  SELECT event_id AS start_id, event_id AS cur, 1 AS len FROM starts
+  UNION ALL
+  SELECT w.start_id, e.next_id, w.len + 1
+  FROM walk w JOIN edges e ON e.event_id = w.cur
+)
+SELECT start_id, CAST(MAX(len) AS INTEGER) AS chain_len FROM walk GROUP BY start_id
+"""
+
+
+def q_recursive_chains(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4.1): sessionization as an
+    explicit chain walk — each event's single LEAD successor within 10
+    minutes forms a linear chain; the recursion walks chains from their
+    starts and reports lengths. Termination is structural (each event
+    has ≤1 successor and time strictly increases — a DAG). Each
+    iteration is one join stage; depth = longest chain, so state is
+    bounded by the data, not the recursion. Complements session_window
+    (declarative) and the iterative connected-components dedup
+    (driver-loop) as the third stateful-traversal idiom."""
+    table(spark, sf, "events").createOrReplaceTempView("events_rc")
+    return spark.sql(_RECURSIVE_CHAINS.format(src="events_rc"))
+
+
+SQL_RECURSIVE_CHAINS = _RECURSIVE_CHAINS.format(src="events")
+
+
 QUERIES: dict[str, Query] = {
     "events_tumbling_window": Query(q_tumbling_window, SQL_TUMBLING_WINDOW),
     "events_gap_fill": Query(q_gap_fill, SQL_GAP_FILL),
     "events_click_attribution": Query(q_click_attribution, SQL_CLICK_ATTRIBUTION),
+    "events_recursive_chains": Query(q_recursive_chains, SQL_RECURSIVE_CHAINS),
     "events_hypertable_rollup": Query(q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
     "events_sliding_window": Query(q_sliding_window, SQL_SLIDING_WINDOW),
     "events_session_window": Query(q_session_window, SQL_SESSION_WINDOW),
