@@ -79,6 +79,17 @@ def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row", **options) -> DataFrame:
+    """Built-in XML datasource (Spark 4)."""
+    return spark.read.format("xml").option("rowTag", row_tag).options(**options).load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows") -> None:
+    df.write.format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).mode("overwrite").save(path)
+
+
 def avro_available(spark: SparkSession) -> bool:
     """The Avro DataSource lives in the external spark-avro module
     (--packages org.apache.spark:spark-avro_2.13:<ver> on a cluster);

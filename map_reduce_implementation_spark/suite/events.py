@@ -121,6 +121,37 @@ FROM events
 """
 
 
+def q_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse_json once
+    into the binary VARIANT encoding, then typed variant_get extraction.
+    Unlike get_json_object (string re-parse per access), VARIANT parses
+    once and each field access is an O(log fields) binary probe — the
+    right encoding when many fields are pulled from the same document.
+    Aggregates k per event_type to keep the result compact."""
+    ev = table(spark, sf, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("p")
+    ).select(
+        "event_type",
+        F.expr("variant_get(p, '$.k', 'int')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+SQL_VARIANT_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_event_type_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Global per-type stats — the grouped-agg shape a monitoring rollup
     uses; count/min/max are exact and order-independent."""
@@ -296,5 +327,6 @@ QUERIES: dict[str, Query] = {
     "events_sliding_window": Query(q_sliding_window, SQL_SLIDING_WINDOW),
     "events_session_window": Query(q_session_window, SQL_SESSION_WINDOW),
     "events_json_extract": Query(q_json_extract, SQL_JSON_EXTRACT),
+    "events_variant_extract": Query(q_variant_extract, SQL_VARIANT_EXTRACT),
     "events_type_stats": Query(q_event_type_stats, SQL_EVENT_TYPE_STATS),
 }

@@ -151,3 +151,13 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: (r.name, r.score) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 3.5)}
+
+
+def test_xml_round_trip(spark, tmp_path):
+    from map_reduce_implementation_spark.sources.tables import read_xml, write_xml
+
+    nation = table(spark, SF0001, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    p = str(tmp_path / "n_xml")
+    write_xml(nation, p)
+    back = read_xml(spark, p).select("n_nationkey", "n_name", "n_regionkey")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
