@@ -459,6 +459,34 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
 """
 
 
+def q_pipe_syntax(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, GoogleSQL-style |> operators): the
+    linear dataflow reading of a filter→aggregate→filter→sort pipeline.
+    Parses to the IDENTICAL Catalyst plan as nested SQL — pure surface
+    syntax, zero execution difference (the oracle is the nested form)."""
+    table(spark, sf, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n > 10
+        """
+    )
+
+
+SQL_PIPE_SYNTAX = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 10
+"""
+
+
 def q_histogram_bins(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-width histogram of order totals (10k-wide bins). Binning is a
     projection, so the aggregate shuffles only (bin → count) pairs —
@@ -635,6 +663,7 @@ QUERIES: dict[str, Query] = {
     "distinct": Query(q_distinct, SQL_DISTINCT),
     "histogram_bins": Query(q_histogram_bins, SQL_HISTOGRAM_BINS),
     "custdist": Query(q_custdist, SQL_CUSTDIST),
+    "pipe_syntax": Query(q_pipe_syntax, SQL_PIPE_SYNTAX),
     "window_range_frame": Query(q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "scalar_functions": Query(q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "datetime_functions": Query(q_datetime_functions, SQL_DATETIME_FUNCTIONS),

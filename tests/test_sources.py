@@ -161,3 +161,33 @@ def test_xml_round_trip(spark, tmp_path):
     write_xml(nation, p)
     back = read_xml(spark, p).select("n_nationkey", "n_name", "n_regionkey")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_python_datasource_synthetic_docs(spark):
+    """Spark 4 Python DataSource: partition-parallel deterministic
+    generator — no driver-side row materialization."""
+    from map_reduce_implementation_spark.sources.pyds import (
+        SyntheticDocsDataSource,
+        _doc_text,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_rows", 200)
+        .option("n_partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    rows = {r.doc_id: r.text for r in df.collect()}
+    assert len(rows) == 200
+    # pure function of doc_id: engine rows == local recomputation
+    assert rows[0] == _doc_text(0) and rows[199] == _doc_text(199)
+    # repartitioning the read does not change content (determinism)
+    df2 = (
+        spark.read.format("synthetic_docs")
+        .option("n_rows", 200)
+        .option("n_partitions", 3)
+        .load()
+    )
+    assert {r.doc_id: r.text for r in df2.collect()} == rows
