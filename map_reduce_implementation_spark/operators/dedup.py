@@ -170,6 +170,65 @@ def minhash_lsh_pairs(
     return est.filter(F.col("est_jaccard") >= threshold)
 
 
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """Posting-list Jaccard near-dup pairs with an optional ``max_df``
+    stop-shingle cap — the 100 TB safety valve.
+
+    A shingle appearing in d documents yields d·(d-1)/2 candidate pairs:
+    boilerplate (headers, licenses, navigation chrome) produces posting
+    lists of millions and a quadratic blow-up on exactly the shingles
+    that carry no signal. ``max_df`` drops those lists wholesale BEFORE
+    pair generation (standard stop-word practice, cf. scikit-learn's
+    CountVectorizer max_df). Effect on scores: intersections lose only
+    ubiquitous shingles, so near-dup pairs above a meaningful threshold
+    survive; the exact-oracle suite query keeps max_df=None so DuckDB
+    matches bit-for-bit, and the capped path is regression-tested for
+    pair-superset containment instead.
+
+    Sizes are computed from the UNCAPPED stream (true Jaccard
+    denominators), pairs from the capped one."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    posts = shingles.groupBy(shingle_col).agg(
+        F.collect_list(id_col).alias("ds")
+    )
+    posts = posts.filter(F.size("ds") > 1)
+    if max_df is not None:
+        posts = posts.filter(F.size("ds") <= max_df)
+    inter = (
+        posts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(least(x, y) AS d1, greatest(x, y) AS d2))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.d1", "p.d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("d1") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("d2") == F.col(f"sb.{id_col}"))
+        .select(
+            "d1",
+            "d2",
+            (F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def connected_components(
     edges: DataFrame, nodes: DataFrame, max_iter: int = 15
 ) -> DataFrame:

@@ -96,36 +96,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     tokenize→hash→distinct pipeline per reference inside one stage.
     Two branches over one cheap scan beat one branch that computes the
     array twice per row."""
-    sh = _shingles(spark, sf, 5)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    posts = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds")).filter(
-        F.size("ds") > 1
-    )
-    inter = (
-        posts.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                    "y -> struct(least(x, y) AS d1, greatest(x, y) AS d2))))"
-                )
-            ).alias("p")
-        )
-        .groupBy("p.d1", "p.d2")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("d1") == F.col("sa.doc_id"))
-        .join(sb, F.col("d2") == F.col("sb.doc_id"))
-        .select(
-            "d1",
-            "d2",
-            (F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    from ..operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_shingles(spark, sf, 5), threshold=0.5, max_df=None)
 
 
 SQL_DEDUP_NGRAM_JACCARD = """

@@ -145,3 +145,21 @@ def test_similarity_strategy_chooser(spark):
     # over (zero) budget → IVF probe path: top-1 (the query itself) kept
     ivf = [tuple(r) for r in similarity_topk(emb, q, 5, exact_row_budget=0).collect()]
     assert ivf[0][0] == exact[0][0] and len(ivf) <= 5
+
+
+def test_jaccard_max_df_cap_is_contained(spark):
+    """max_df stop-shingle cap: capped pairs must be a subset of the
+    uncapped pairs with never-higher jaccard (intersection only loses
+    ubiquitous shingles; denominators stay uncapped)."""
+    from map_reduce_implementation_spark.operators.dedup import jaccard_pairs
+    from map_reduce_implementation_spark.suite.dedup import _shingles
+
+    sh = _shingles(spark, SF001, 5)
+    full = {(r.d1, r.d2): r.jaccard for r in jaccard_pairs(sh, 0.5).collect()}
+    capped = {
+        (r.d1, r.d2): r.jaccard
+        for r in jaccard_pairs(sh, 0.5, max_df=20).collect()
+    }
+    assert full, "fixture must produce near-dup pairs"
+    assert set(capped) <= set(full)
+    assert all(capped[p] <= full[p] + 1e-12 for p in capped)
