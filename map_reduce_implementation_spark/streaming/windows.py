@@ -269,6 +269,16 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str = "event_typ
     return events.join(F.broadcast(dim), on)
 
 
+def read_state(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """State-store reader (Spark 4): inspect a streaming query's live
+    state straight from its checkpoint — keys, values, partition ids.
+    The production debugging tool for 'why is my state store growing':
+    no replay, no instrumentation, just a batch scan of the HDFS/RocksDB
+    state files. Returns DataFrame[key: struct, value: struct,
+    partition_id: int]."""
+    return spark.read.format("statestore").load(checkpoint_dir)
+
+
 def run_foreach_batch_to_parquet(sdf: DataFrame, out_dir: str, timeout_s: int = 120):
     """foreachBatch sink: per-micro-batch custom writes (the escape hatch
     for sinks Structured Streaming lacks — JDBC upserts, dual writes).

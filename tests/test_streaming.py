@@ -175,3 +175,44 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_state_store_reader(spark, events_dir, tmp_path):
+    """Spark 4 statestore format: the checkpoint's live aggregation state
+    is directly queryable — per-window counts still held as state must
+    sum to the full event count (append mode emits nothing until the
+    watermark closes a window, so ALL windows are still open state)."""
+    from map_reduce_implementation_spark.streaming.windows import read_state
+
+    ck = str(tmp_path / "ck_state")
+    sdf = tumbling_counts(stream_events(spark, events_dir))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_state_reader")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    st = read_state(spark, ck)
+    assert {"key", "value", "partition_id"} <= set(st.columns)
+    # append mode drops state once the watermark closes a window, so the
+    # store holds ONLY the still-open tail: windows ending after
+    # max(ts) - 2h (the watermark horizon). Exact cross-check vs batch.
+    from pyspark.sql import functions as F
+
+    ev = table(spark, SF0001, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    open_events = (
+        tumbling_counts(ev)
+        .filter(
+            F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+            > F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+        )
+        .agg(F.sum("n_events"))
+        .collect()[0][0]
+    )
+    state_total = st.agg({"value.count": "sum"}).collect()[0][0]
+    assert state_total == open_events and state_total > 0
