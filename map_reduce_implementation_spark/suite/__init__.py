@@ -25,6 +25,71 @@ from . import (
 )
 
 
+# The external driver canonicality-checks queries() in registry order with a
+# bounded window (round 1: first 50 of 104). Round 1 checked the relational/
+# stats/parity head and left all 54 LLM-pipeline queries unverified, so the
+# registry now front-loads those (pipeline, dedup, similarity, text, events,
+# udfs, maps, multimodal, subqueries, sampling); the 50 queries already
+# driver-green in CORRECTNESS_r01.json rotate to the tail.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    "pipeline_curation",
+    "dedup_exact",
+    "dedup_keep_first",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_cosine_topk",
+    "similarity_cosine_pairs",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "embedding_norms",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_winnow_fingerprint",
+    "text_repetition_score",
+    "text_top_bigrams",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_hypertable_rollup",
+    "events_gap_fill",
+    "events_click_attribution",
+    "events_recursive_chains",
+    "events_json_extract",
+    "events_variant_extract",
+    "events_type_stats",
+    "udaf_geomean",
+    "grouped_map_centroids",
+    "udtf_sentences",
+    "map_functions",
+    "struct_functions",
+    "multimodal_metadata",
+    "multimodal_typed_metadata",
+    "multimodal_decode",
+    "multimodal_audio_decode",
+    "multimodal_resize",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "scalar_subquery",
+    "in_subquery",
+    "exists_subquery",
+    "not_exists_subquery",
+    "conditional_functions",
+    "sample_deterministic",
+    "sample_stratified",
+    "sample_weighted",
+    # window boundary — below here sat past slot 50 in round 2
+    "unpivot",
+    "union_by_name",
+    "explode_tokens",
+    "sample_rng",
+)
+
+
 def all_queries() -> dict[str, Query]:
     merged: dict[str, Query] = {}
     for mod in (
@@ -45,7 +110,14 @@ def all_queries() -> dict[str, Query]:
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")
             merged[name] = q
-    return merged
+    missing = [n for n in DRIVER_PRIORITY if n not in merged]
+    if missing:
+        raise ValueError(f"DRIVER_PRIORITY names not in registry: {missing}")
+    ordered: dict[str, Query] = {n: merged[n] for n in DRIVER_PRIORITY}
+    for name, q in merged.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered
 
 
 __all__ = ["Query", "all_queries"]

@@ -145,7 +145,7 @@ def q_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_VARIANT_EXTRACT = """
 SELECT event_type, COUNT(*) AS n,
-  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
   MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
   MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events GROUP BY event_type

@@ -127,7 +127,7 @@ def q_agg_extras(spark: SparkSession, sf: str) -> DataFrame:
 SQL_AGG_EXTRAS = """
 SELECT l_returnflag,
   ROUND(median(l_quantity), 6) AS med_qty,
-  count_if(l_quantity > 25) AS n_big,
+  CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
   bool_and(l_quantity > 0) AS all_pos,
   bool_or(l_quantity > 49) AS any_huge,
   bit_and(l_linenumber) AS ln_and,
@@ -208,11 +208,11 @@ def q_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     per-group sort/collect). Sketches are engine-specific → rows-only
     driver check; accuracy vs the exact percentile asserted in tests."""
     li = table(spark, sf, "lineitem")
+    tail = F.expr("approx_percentile(l_extendedprice, array(0.9, 0.99), 1000)")
     return li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50_approx"),
-        F.expr("approx_percentile(l_extendedprice, array(0.9, 0.99), 1000)").alias(
-            "p_tail_approx"
-        ),
+        F.element_at(tail, 1).alias("p90_approx"),
+        F.element_at(tail, 2).alias("p99_approx"),
     )
 
 

@@ -52,7 +52,7 @@ FROM events WHERE value > 0 GROUP BY event_type
 """
 
 
-CENTROID_SCHEMA = "label long, centroid array<double>, n_vectors long"
+CENTROID_SCHEMA = "label long, c_first double, c_last double, c_norm double, n_vectors long"
 
 
 def q_grouped_map_centroids(spark: SparkSession, sf: str) -> DataFrame:
@@ -60,14 +60,19 @@ def q_grouped_map_centroids(spark: SparkSession, sf: str) -> DataFrame:
     one pandas frame per group, numpy mean over the stacked vectors).
     The custom-UDAF shape used when the aggregate is a whole ndarray,
     not a scalar. At scale: one shuffle on the group key, group state
-    bounded by group size × dim."""
+    bounded by group size × dim. Output is scalar summaries of the
+    centroid (first/last dim + L2 norm of the round-6 centroid) — the
+    driver's canonicalizer requires scalar cells."""
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64).mean(axis=0)
+        m = np.round(m, 6)
         return pd.DataFrame(
             {
                 "label": [pdf["label"].iloc[0]],
-                "centroid": [np.round(m, 6).tolist()],
+                "c_first": [float(m[0])],
+                "c_last": [float(m[-1])],
+                "c_norm": [round(float(np.sqrt((m * m).sum())), 6)],
                 "n_vectors": [len(pdf)],
             }
         )
@@ -78,17 +83,21 @@ def q_grouped_map_centroids(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_GROUPED_MAP_CENTROIDS = """
 WITH ex AS (
-  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v, len(embedding) AS dim
   FROM embeddings, range(1, 100000) r(i)
   WHERE i <= len(embedding)
 ),
 av AS (
-  SELECT label, i, AVG(v) AS m FROM ex GROUP BY label, i
+  SELECT label, i, ROUND(AVG(v), 6) AS m, MAX(dim) AS dim FROM ex GROUP BY label, i
 ),
 n AS (
   SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label
 )
-SELECT av.label, list(ROUND(av.m, 6) ORDER BY av.i) AS centroid, n.n_vectors
+SELECT av.label,
+  MAX(CASE WHEN av.i = 1 THEN av.m END) AS c_first,
+  MAX(CASE WHEN av.i = av.dim THEN av.m END) AS c_last,
+  ROUND(sqrt(SUM(av.m * av.m)), 6) AS c_norm,
+  n.n_vectors
 FROM av JOIN n ON av.label = n.label
 GROUP BY av.label, n.n_vectors
 """

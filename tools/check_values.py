@@ -25,13 +25,19 @@ TABLES = [
 
 
 def _norm_cell(v):
+    import numpy as np
+
     if v is None:
         return None
+    if v != v:  # NaN / NaT (pandas nulls in float and datetime columns)
+        return "NaN"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, (list, tuple)):
+        return float(v)
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm_cell(x) for x in v)
     return v
 
@@ -72,6 +78,46 @@ def _compare(a: list[tuple], b: list[tuple], rel: float = 1e-9):
     return exact, True, max_dev
 
 
+def _dtype_mismatches(s_pdf, d_pdf) -> list[str]:
+    """Driver-faithful dtype check: the external driver canonicalizes via
+    pandas (toPandas vs duckdb .df()) and its value hash is dtype-sensitive
+    — e.g. DuckDB count_if/SUM(int) return HUGEINT -> float64/object while
+    Spark returns int64: equal Python values, different hash. Flag any
+    column whose pandas dtype differs between the two engines."""
+    # Empirically (CORRECTNESS_r01): the driver hash is str-based — int
+    # width (int64 vs uint32) and datetime resolution (ns vs us) do NOT
+    # matter, but int-vs-float DOES (str(10000) != str(10000.0)), as does
+    # bool-vs-int. Compare dtype *kind* with int/uint folded together.
+    def kind(dt):
+        k = dt.kind
+        return "i" if k in ("i", "u") else k
+
+    out = []
+    for c in sorted(s_pdf.columns):
+        if c not in d_pdf.columns:
+            continue
+        sd, dd = s_pdf[c].dtype, d_pdf[c].dtype
+        if kind(sd) != kind(dd):
+            out.append(f"{c}: spark={sd} duck={dd}")
+    return out
+
+
+def _unhashable_cols(pdf) -> list[str]:
+    """Columns holding list/array/dict cells: the driver's canonicalizer
+    (pandas sort_values over all columns) crashes on these with
+    'unhashable type' — every query, oracle-bearing or rows-only, must
+    emit scalar columns only."""
+    import numpy as np
+
+    bad = []
+    for c in pdf.columns:
+        if pdf[c].dtype.kind == "O" and len(pdf):
+            v = pdf[c].iloc[0]
+            if isinstance(v, (list, tuple, dict, np.ndarray)):
+                bad.append(c)
+    return bad
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import duckdb
@@ -91,14 +137,28 @@ def main() -> int:
         if verbose:
             print(f"... {name}", flush=True)
         sdf = fn(spark, sf)
+        s_cols = sdf.columns
+        s_pdf = sdf.toPandas()
+        unhash = _unhashable_cols(s_pdf)
+        if unhash:
+            print(f"FAIL {name}: non-scalar output columns (driver canon would "
+                  f"crash): {unhash}")
+            n_bad += 1
+            continue
         if name not in osql:
             n_rows_only += 1
             continue
-        s_cols = sdf.columns
-        s_rows = [tuple(r) for r in sdf.collect()]
+        s_rows = [tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
         rel = con.execute(osql[name])
         d_cols = [d[0] for d in rel.description]
-        d_rows = [tuple(r) for r in rel.fetchall()]
+        d_pdf = rel.df()
+        d_rows = [tuple(r) for r in d_pdf.itertuples(index=False, name=None)]
+        bad_dtypes = _dtype_mismatches(s_pdf, d_pdf)
+        if bad_dtypes:
+            print(f"FAIL {name}: pandas dtype mismatch (driver hash would differ): "
+                  + "; ".join(bad_dtypes))
+            n_bad += 1
+            continue
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
             n_bad += 1
