@@ -115,6 +115,23 @@ def minhash_lsh_pairs(
     Returns DataFrame[d1, d2, est_jaccard] with est_jaccard >= threshold.
     With 32 bands × 4 rows the S-curve crosses ~50% capture at J≈0.42 —
     tuned for a 0.5 threshold.
+
+    Cache lifetime: the signature table is ``.cache()``d because three
+    plan branches consume it (banding + the two est re-joins) and
+    recomputing the Arrow signature pass per branch measured 2.3×
+    slower warm at sf0.1. Spark's CacheManager dedupes by logical plan,
+    so repeated invocations on the same input share ONE entry
+    (~num_perm·8 B per doc) rather than accumulating; callers wanting
+    the storage back after materializing the pairs should
+    ``spark.catalog.clearCache()`` or re-derive and unpersist the
+    signature plan.
+
+    Rejected alternative (measured): carrying ``sig`` through the band
+    self-join to skip both est re-joins is 1.15 s vs 1.59 s warm at
+    sf0.1 — but it pushes the full 1 KB signature into the band
+    exchange ×bands copies per doc (~43× the shuffle bytes of the
+    narrow banding). At 100 TB the exchange volume dominates, so the
+    narrow shape wins despite the extra local joins.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -192,7 +209,11 @@ def jaccard_pairs(
     pair-superset containment instead.
 
     Sizes are computed from the UNCAPPED stream (true Jaccard
-    denominators), pairs from the capped one."""
+    denominators), pairs from the capped one. A ``d1 != d2`` guard
+    before the pair aggregation keeps non-distinct (doc_id, shingle)
+    inputs from producing self-pairs (repeated ids in a posting list
+    can still inflate a true pair's intersection — distinct input
+    remains the contract for exact scores)."""
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     posts = shingles.groupBy(shingle_col).agg(
         F.collect_list(id_col).alias("ds")
@@ -210,6 +231,7 @@ def jaccard_pairs(
                 )
             ).alias("p")
         )
+        .filter(F.col("p.d1") != F.col("p.d2"))
         .groupBy("p.d1", "p.d2")
         .agg(F.count("*").alias("inter"))
     )

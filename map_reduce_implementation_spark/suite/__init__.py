@@ -37,6 +37,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_keep_first",
     "dedup_clusters",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -81,8 +82,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "conditional_functions",
     "sample_deterministic",
     "sample_stratified",
-    "sample_weighted",
     # window boundary — below here sat past slot 50 in round 2
+    "sample_weighted",
     "unpivot",
     "union_by_name",
     "explode_tokens",

@@ -127,6 +127,57 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
 """
 
 
+def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB-safe jaccard wiring: ``max_df`` drops posting lists
+    longer than the cap BEFORE pair generation, bounding the per-shingle
+    pair blow-up at df·(df-1)/2 regardless of corpus size (the uncapped
+    path is quadratic in the hottest shingle's document frequency —
+    boilerplate kills it at scale). Semantics are still exact and
+    SQL-expressible: intersections count only capped shingles,
+    denominators use true (uncapped) shingle-set sizes, so the DuckDB
+    oracle reproduces scores bit-for-bit.
+
+    ``max_df=2`` here because the synthetic corpus's hottest shingle has
+    df=3-4 — the cap must actually bite for the driver to grade the
+    capped code path (at sf0.01 it drops 3 of 25 uncapped pairs). A
+    production run uses O(10³)+: large enough to never touch genuine
+    near-dup overlap, small enough to stop-list boilerplate."""
+    from ..operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_shingles(spark, sf, 5), threshold=0.5, max_df=2)
+
+
+SQL_DEDUP_NGRAM_JACCARD_CAPPED = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS shingle
+  FROM toks, range(1, 100000) r(i)
+  WHERE i + 4 <= len(ts)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+df AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1),
+capped AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)
+  WHERE df.c = 2
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(128 perms) + LSH(32 bands × 4 rows) candidate pairs with
     exact-Jaccard verification >= 0.5. Spark murmur3 signatures → no SQL
@@ -249,6 +300,9 @@ QUERIES: dict[str, Query] = {
     "dedup_keep_first": Query(q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
     "dedup_clusters": Query(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_ngram_jaccard_capped": Query(
+        q_dedup_ngram_jaccard_capped, SQL_DEDUP_NGRAM_JACCARD_CAPPED
+    ),
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None),
     "dedup_simhash": Query(q_dedup_simhash, None),
     "dedup_embedding_cosine": Query(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
