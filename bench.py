@@ -24,6 +24,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARPEACE_ZIP = "/root/reference/proj_2_base.zip"
 WARPEACE_LOCAL = os.path.join(REPO, ".bench_data", "input-warpeace.txt")
+WARPEACE_X50 = os.path.join(REPO, ".bench_data", "warpeace_x50.txt")
+X50_COPIES = 50
 
 # headline queries: one per operator family (SURVEY.md §2 coverage)
 HEADLINE = [
@@ -64,6 +66,28 @@ def _ensure_warpeace() -> str | None:
         return None
 
 
+def _ensure_warpeace_x50(wp: str) -> str | None:
+    """~222 MB corpus (warpeace × 50) for the throughput regime.
+
+    The 4.4 MB corpus measures Spark's per-job floor (~0.07-0.5 s), not
+    the engine: at that size the reference's single fork wins on constant
+    overhead but cannot scale past one core or a 2 GiB file. Sustained
+    throughput on a corpus ~50× larger is the number that predicts 100 TB
+    behavior, so the bench records both regimes."""
+    if os.path.exists(WARPEACE_X50):
+        return WARPEACE_X50
+    try:
+        with open(wp, "rb") as src:
+            blob = src.read()
+        with open(WARPEACE_X50, "wb") as dst:
+            for _ in range(X50_COPIES):
+                dst.write(blob)
+        return WARPEACE_X50
+    except Exception as exc:
+        print(f"warpeace_x50 unavailable: {exc}", file=sys.stderr)
+        return None
+
+
 def _run_noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
@@ -100,6 +124,14 @@ def main() -> int:
         results["finder_the_warpeace"] = _time(
             lambda: word_finder(spark, wp, "the").count()
         )
+        x50 = _ensure_warpeace_x50(wp)
+        if x50:
+            results["counter_warpeace_x50"] = _time(
+                lambda: letter_counter(spark, x50).collect()
+            )
+            results["finder_the_warpeace_x50"] = _time(
+                lambda: word_finder(spark, x50, "the").count()
+            )
 
     # --- suite headliners at SF_DIR ---
     for name in HEADLINE:
@@ -116,6 +148,14 @@ def main() -> int:
     except ValueError:
         sf_val = None
     total = sum(v for v in results.values() if v == v)
+    throughput = {}
+    for key, path in (
+        ("counter_warpeace_x50", WARPEACE_X50),
+        ("finder_the_warpeace_x50", WARPEACE_X50),
+    ):
+        if key in results and results[key] == results[key]:
+            mb = os.path.getsize(path) / 1e6
+            throughput[key + "_mb_s"] = round(mb / results[key], 1)
     print(
         json.dumps(
             {
@@ -123,6 +163,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 4) for k, v in results.items()},
+                "throughput": throughput,
                 "sf": sf_val,
             }
         )
