@@ -6,11 +6,13 @@ metadata; run decode / feature-extraction as Arrow-batched Pandas UDFs
 via ``mapInPandas`` so each task streams record batches without
 row-at-a-time Python overhead.
 
-The actual codec libraries (Pillow/ffmpeg/torchaudio) are NOT in this
-container, so the decode kernel is a clearly-marked deterministic fake
-behind ``decode_stub`` — the Spark-side plumbing (schema, batch iteration,
-partitioning) is real and tested. Swap ``_fake_decode`` for a real codec
-in production.
+Codec status: PNG and WAV(PCM) are decoded FOR REAL in pure
+stdlib+numpy (``png_decode`` — full IDAT inflate + scanline unfilter,
+not just header sniffing — and ``wav_decode``); the decode kernels
+dispatch on magic bytes, falling back to a clearly-marked deterministic
+fake for payloads that are not real media (the ``documents`` text bytes
+used as stand-ins). Heavier codecs (JPEG/MP4) would slot into the same
+dispatch; those libraries are not in this container.
 """
 
 from __future__ import annotations
@@ -45,6 +47,161 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def png_encode_gray(img) -> bytes:
+    """Minimal real PNG encoder: 8-bit grayscale, filter type 0, one
+    IDAT chunk. Pure stdlib (struct + zlib incl. crc32) — spec refs:
+    RFC 2083 §3 (chunk layout), §4.1 (IHDR/IDAT/IEND)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL PNG decode in pure stdlib+numpy: chunk walk, IHDR parse,
+    zlib-inflate of concatenated IDATs, and per-scanline unfiltering
+    (all five filter types: None/Sub/Up/Average/Paeth). Supports 8-bit
+    gray/gray-alpha/RGB/RGBA, non-interlaced — the shapes a curation
+    pipeline normalizes to. Returns (width, height, channels,
+    mean_intensity over all decoded samples)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+                raise ValueError(f"unsupported PNG (depth={depth} ctype={ctype})")
+            meta = (w, h, _PNG_CHANNELS[ctype])
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, cur = int(filters[y]), data[y]
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub — sequential along the row, per-pixel loop on lanes
+            rec = cur.copy()
+            for i in range(ch, stride):
+                rec[i] = (rec[i] + rec[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            rec = cur.copy()
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = cur.copy()
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec & 0xFF
+        prev = out[y]
+    return w, h, ch, float(out.mean())
+
+
+def wav_encode_pcm16(samples, sample_rate: int = 16000) -> bytes:
+    """Minimal real WAV writer: RIFF/WAVE with one fmt + one data chunk,
+    mono 16-bit little-endian PCM (the canonical RIFF layout)."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL RIFF/WAVE parse: walks chunks, reads fmt (PCM, 16-bit) and
+    data, returns (sample_rate, n_channels, n_samples, rms) with samples
+    decoded via numpy little-endian int16."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, nch, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            audio_fmt, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", data[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits})")
+        elif tag == b"data":
+            pcm = data
+        pos += 8 + length + (length & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or pcm is None:
+        raise ValueError("WAV missing fmt/data")
+    arr = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+    n = len(arr) // nch
+    rms = float(np.sqrt(np.mean(arr * arr))) if len(arr) else 0.0
+    return rate, nch, n, rms
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     """Deterministic stand-in for an image decode. A real implementation
     would call PIL.Image.open / cv2.imdecode here.
@@ -59,17 +216,28 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, 3, float(mean)
 
 
-def decode_stub(df_with_payload: DataFrame) -> DataFrame:
-    """Arrow-batched 'decode' over the binary column via mapInPandas.
+def _decode_any(payload: bytes) -> tuple[int, int, int, float]:
+    """Magic-byte dispatch: real PNG decode when the payload IS a PNG,
+    deterministic fake otherwise (documents' text bytes standing in for
+    media). Production adds JPEG/WebP arms to the same dispatch."""
+    p = bytes(payload)
+    if p[:8] == PNG_MAGIC:
+        return png_decode(p)
+    return _fake_decode(p)
 
-    Real decode path: replace ``_fake_decode``. The plumbing —
+
+def decode_stub(df_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched decode over the binary column via mapInPandas.
+
+    PNG payloads hit the REAL pure-python decoder (``png_decode``);
+    anything else falls back to the deterministic fake. The plumbing —
     per-batch pandas iteration, explicit output schema, no driver
     collect — is the production shape.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [_decode_any(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -155,6 +323,67 @@ def feature_extract_stub(df_with_payload: DataFrame, dim: int = 16) -> DataFrame
     return df_with_payload.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+PNG_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def with_png_payload(df_with_len: DataFrame) -> DataFrame:
+    """Build a REAL grayscale PNG per row from (doc_id, byte_len) —
+    deterministic test pattern pixel[y,x] = (x + y + doc_id) % 256 with
+    w = 16 + byte_len % 64, h = 16 + (byte_len // 64) % 64 (same dims
+    as the typed-metadata struct). Only two int64 columns cross the
+    Arrow boundary; the image synthesis + PNG encode run vectorized in
+    the kernel. Feeds decode_stub's real-PNG path for an
+    encode→inflate→unfilter→decode round trip with a closed-form
+    oracle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, bl in zip(pdf["doc_id"], pdf["byte_len"]):
+                w = 16 + int(bl) % 64
+                h = 16 + (int(bl) // 64) % 64
+                img = (
+                    (np.arange(w)[None, :] + np.arange(h)[:, None] + int(did)) % 256
+                ).astype(np.uint8)
+                payloads.append(png_encode_gray(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return df_with_len.select("doc_id", "byte_len").mapInPandas(
+        batches, PNG_PAYLOAD_SCHEMA
+    )
+
+
+def with_wav_payload(df_ids: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Build a REAL mono 16-bit PCM WAV per row from doc_id —
+    deterministic samples s[i] = ((i · (doc_id % 97 + 1)) % 201) − 100,
+    n = 1000 + doc_id % 500. Feeds audio_decode_stub's real-RIFF path;
+    the oracle recomputes the RMS closed-form in SQL."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 1000 + d % 500
+                i = np.arange(n, dtype=np.int64)
+                s = ((i * (d % 97 + 1)) % 201 - 100).astype(np.int16)
+                payloads.append(wav_encode_pcm16(s, sample_rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return df_ids.select("doc_id").mapInPandas(batches, PNG_PAYLOAD_SCHEMA)
+
+
 MEDIA_STRUCT = T.StructType(
     [
         T.StructField("modality", T.StringType()),
@@ -211,22 +440,31 @@ AUDIO_SCHEMA = T.StructType(
 
 
 def audio_decode_stub(df_with_payload: DataFrame, sample_rate: int = 16000) -> DataFrame:
-    """Audio-decode stand-in (real path: soundfile/torchaudio per Arrow
-    batch): treats payload bytes as int8 PCM, emits sample count + RMS
-    loudness. Deterministic — no codec libs in this container."""
+    """Audio decode over mapInPandas: RIFF/WAVE payloads hit the REAL
+    parser (``wav_decode`` — fmt/data chunk walk + int16 PCM via numpy);
+    other payloads fall back to a deterministic int8-PCM reinterpretation
+    so text stand-ins stay testable."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ns, rms = [], []
+            sr, ns, rms = [], [], []
             for p in pdf["payload"]:
-                arr = np.frombuffer(bytes(p), dtype=np.int8).astype(np.float64)
-                ns.append(len(arr))
-                rms.append(float(np.sqrt(np.mean(arr * arr))) if len(arr) else 0.0)
+                b = bytes(p)
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    rate, _nch, n, r = wav_decode(b)
+                    sr.append(rate)
+                    ns.append(n)
+                    rms.append(r)
+                else:
+                    arr = np.frombuffer(b, dtype=np.int8).astype(np.float64)
+                    sr.append(sample_rate)
+                    ns.append(len(arr))
+                    rms.append(float(np.sqrt(np.mean(arr * arr))) if len(arr) else 0.0)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "sample_rate": sample_rate,
+                    "sample_rate": sr,
                     "n_samples": ns,
                     "rms": rms,
                 }

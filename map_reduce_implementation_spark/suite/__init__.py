@@ -70,10 +70,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "struct_functions",
     "multimodal_metadata",
     "multimodal_typed_metadata",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
     "multimodal_decode",
     "multimodal_audio_decode",
-    "multimodal_resize",
-    "multimodal_features",
     "multimodal_frame_sample",
     "scalar_subquery",
     "in_subquery",
@@ -84,6 +84,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_stratified",
     # window boundary — below here sat past slot 50 in round 2
     "sample_weighted",
+    "multimodal_resize",
+    "multimodal_features",
     "unpivot",
     "union_by_name",
     "explode_tokens",

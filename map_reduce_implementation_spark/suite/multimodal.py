@@ -105,6 +105,73 @@ FROM p
 """
 
 
+def q_multimodal_png_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL codec round trip: per-doc grayscale PNG built by the pure
+    stdlib encoder (test pattern (x+y+doc_id) % 256), then decoded by
+    the real PNG decoder (zlib inflate + scanline unfilter). The oracle
+    recomputes width/height/mean closed-form in SQL, so a bug anywhere
+    in chunk layout, compression, filtering, or pixel math fails the
+    hash — this is decode_stub's real-media path under driver grading."""
+    from ..operators.multimodal import decode_stub, with_png_payload
+
+    d = table(spark, sf, "documents").select(
+        "doc_id", F.octet_length("text").alias("byte_len")
+    )
+    dec = decode_stub(with_png_payload(d))
+    return dec.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+SQL_MULTIMODAL_PNG_ROUNDTRIP = """
+WITH p AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bl FROM documents
+),
+dims AS (
+  SELECT doc_id, CAST(16 + bl % 64 AS INTEGER) AS w,
+         CAST(16 + (bl // 64) % 64 AS INTEGER) AS h
+  FROM p
+),
+px AS (
+  SELECT doc_id, w, h, (x.i + y.i + doc_id) % 256 AS v
+  FROM dims, range(0, 80) x(i), range(0, 80) y(i)
+  WHERE x.i < w AND y.i < h
+)
+SELECT doc_id, MAX(w) AS width, MAX(h) AS height, 1 AS n_channels,
+       ROUND(AVG(v), 6) AS mean_intensity
+FROM px GROUP BY doc_id
+"""
+
+
+def q_multimodal_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio round trip: mono int16 PCM WAV written by the RIFF
+    encoder (deterministic sample pattern), parsed back by the real
+    RIFF/fmt/data walker; RMS recomputed closed-form by the oracle."""
+    from ..operators.multimodal import audio_decode_stub, with_wav_payload
+
+    d = table(spark, sf, "documents").select("doc_id")
+    dec = audio_decode_stub(with_wav_payload(d))
+    return dec.select(
+        "doc_id", "sample_rate", "n_samples", F.round("rms", 6).alias("rms")
+    )
+
+
+SQL_MULTIMODAL_WAV_ROUNDTRIP = """
+WITH s AS (
+  SELECT doc_id, (r.i * (doc_id % 97 + 1)) % 201 - 100 AS v
+  FROM documents, range(0, 1500) r(i)
+  WHERE r.i < 1000 + doc_id % 500
+)
+SELECT doc_id, 16000 AS sample_rate, COUNT(*) AS n_samples,
+       ROUND(sqrt(AVG(CAST(v * v AS DOUBLE))), 6) AS rms
+FROM s GROUP BY doc_id
+"""
+
+
 def q_multimodal_audio_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Audio-decode stub over the audio-modality slice: the modality
     partition filter happens BEFORE the Python kernel, so only 1/3 of
@@ -122,6 +189,12 @@ QUERIES: dict[str, Query] = {
     "multimodal_metadata": Query(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
     "multimodal_typed_metadata": Query(
         q_multimodal_typed_metadata, SQL_MULTIMODAL_TYPED_METADATA
+    ),
+    "multimodal_png_roundtrip": Query(
+        q_multimodal_png_roundtrip, SQL_MULTIMODAL_PNG_ROUNDTRIP
+    ),
+    "multimodal_wav_roundtrip": Query(
+        q_multimodal_wav_roundtrip, SQL_MULTIMODAL_WAV_ROUNDTRIP
     ),
     "multimodal_audio_decode": Query(q_multimodal_audio_decode, None),
     "multimodal_decode": Query(q_multimodal_decode, None),

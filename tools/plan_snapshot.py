@@ -34,6 +34,8 @@ PYTHON_OK = {
     "multimodal_features",
     "text_winnow_fingerprint",
     "multimodal_audio_decode",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "letter_counter",
