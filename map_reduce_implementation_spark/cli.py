@@ -52,6 +52,8 @@ def main(argv: list[str] | None = None) -> int:
     from .sources.tables import write_single_text_file
 
     spark = get_spark(app_name=f"cli-{args.job}")
+    sc = spark.sparkContext
+    sc.setJobGroup("cli-run", f"cli {args.job}")
     t0 = time.monotonic_ns()
     if args.job == "counter":
         df = letter_counter(spark, args.input, min_partitions=args.splits)
@@ -68,13 +70,40 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(r.value)
     t1 = time.monotonic_ns()
+
+    # RESULT report — parity with the reference's MAPREDUCE_RESULT block
+    # (main.c:138-146: result file, per-map-worker pids, reduce pid,
+    # processing time). Spark workers are tasks, not forked processes, so
+    # the per-worker ids become real per-stage task counts pulled from
+    # the status tracker (first stage(s) = map side, post-shuffle stage =
+    # reduce side).
+    tracker = sc.statusTracker()
+    stage_tasks: list[tuple[int, int]] = []
+    for jid in sorted(tracker.getJobIdsForGroup("cli-run")):
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in sorted(info.stageIds):
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is not None and sinfo.numCompletedTasks > 0:
+                stage_tasks.append((sid, sinfo.numTasks))
     n_parts = df.rdd.getNumPartitions()
-    print(
-        f"# job={args.job} partitions={n_parts} "
-        f"time_us={(t1 - t0) // 1000}"
+    report = [
+        "***** RESULT *****",
+        f"Result file: {args.output if args.output else '-'}"
+        + ("" if args.output else f" ({n} rows to stdout)"),
+        "Stage tasks: "
+        + (
+            " ".join(f"stage{sid}:{nt}" for sid, nt in stage_tasks)
+            if stage_tasks
+            else f"partitions:{n_parts}"
+        ),
+        f"Total tasks: {sum(nt for _, nt in stage_tasks) or n_parts}",
+        f"Processing time (us): {(t1 - t0) // 1000}",
+        f"# job={args.job} partitions={n_parts} time_us={(t1 - t0) // 1000}"
         + (f" output={args.output}" if args.output else f" rows={n}"),
-        file=sys.stderr,
-    )
+    ]
+    print("\n".join(report), file=sys.stderr)
     return 0
 
 
