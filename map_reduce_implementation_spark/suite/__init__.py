@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from .base import Query
 from . import (
+    curation,
     dedup,
     events,
     joins2,
@@ -83,6 +84,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_deterministic",
     "sample_stratified",
     # window boundary — below here sat past slot 50 in round 2
+    "decontaminate",
+    "pii_redact",
+    "quota_sample",
+    "sequence_pack",
+    "tfidf_top_terms",
+    "train_shuffle",
     "sample_weighted",
     "multimodal_resize",
     "multimodal_features",
@@ -97,6 +104,7 @@ def all_queries() -> dict[str, Query]:
     merged: dict[str, Query] = {}
     for mod in (
         parity,
+        curation,
         relational,
         joins2,
         stats,
