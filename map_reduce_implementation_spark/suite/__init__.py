@@ -13,6 +13,7 @@ from . import (
     curation,
     dedup,
     events,
+    graph,
     joins2,
     maps,
     multimodal,
@@ -97,6 +98,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "union_by_name",
     "explode_tokens",
     "sample_rng",
+    # round-2 late additions — rotate into the window in later rounds
+    "graph_pagerank",
+    "dedup_fuzzy_levenshtein",
+    "events_funnel",
+    "quality_outliers",
+    "domain_mix_report",
 )
 
 
@@ -105,6 +112,7 @@ def all_queries() -> dict[str, Query]:
     for mod in (
         parity,
         curation,
+        graph,
         relational,
         joins2,
         stats,

@@ -326,6 +326,97 @@ FROM documents
 """
 
 
+def q_quality_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-group outlier detection (median/MAD z-score, |z| > 2.5)
+    on the heavy-tailed ``events.value`` — the anomaly-flagging pass
+    that catches corrupt measurements without assuming normality (a
+    mean/stddev z-score would be dragged by the tail it's hunting).
+
+    Two grouped exact-median passes (event_type-keyed shuffles reducing
+    to one row per type) + **broadcast** joins of the tiny stats table
+    back to the scan — the event stream itself is never shuffled on a
+    wide key, so the plan is scan-dominated at any scale."""
+    ev = table(spark, sf, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    z = F.round(
+        (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 6
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select("event_id", "event_type", "value", z.alias("robust_z"))
+        .filter(F.abs(F.col("robust_z")) > 2.5)
+    )
+
+
+SQL_QUALITY_OUTLIERS = """
+WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.value,
+  ROUND((d.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE m.mad > 0 AND abs(ROUND((d.value - d.med) / (1.4826 * m.mad), 6)) > 2.5
+"""
+
+
+def q_domain_mix_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-mixture report: per (lang, source) doc count, char volume,
+    corpus share, and the cumulative share within each lang ordered by
+    descending count (the "what covers 90% of my German data" view that
+    drives mixture reweighting). One grouped agg (the report is
+    cell-count-sized — tiny) + one window over it; the corpus total
+    rides along as a window over an empty frame of the AGGREGATED rows,
+    never a second scan of the raw data."""
+    d = table(spark, sf, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars_total")
+    )
+    w_all = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_chars_total",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w_all), 6).alias(
+            "corpus_share"
+        ),
+        F.round(
+            F.sum("n_docs").over(w_cum) / F.sum("n_docs").over(Window.partitionBy("lang")),
+            6,
+        ).alias("lang_cum_share"),
+    )
+
+
+SQL_DOMAIN_MIX_REPORT = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_chars_total,
+  ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS corpus_share,
+  ROUND(
+    SUM(n_docs) OVER (
+      PARTITION BY lang ORDER BY n_docs DESC, source ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    * 1.0 / SUM(n_docs) OVER (PARTITION BY lang), 6) AS lang_cum_share
+FROM cells
+"""
+
+
 QUERIES: dict[str, Query] = {
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
     "pii_redact": Query(q_pii_redact, SQL_PII_REDACT),
@@ -333,4 +424,6 @@ QUERIES: dict[str, Query] = {
     "sequence_pack": Query(q_sequence_pack, SQL_SEQUENCE_PACK),
     "tfidf_top_terms": Query(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "train_shuffle": Query(q_train_shuffle, SQL_TRAIN_SHUFFLE),
+    "quality_outliers": Query(q_quality_outliers, SQL_QUALITY_OUTLIERS),
+    "domain_mix_report": Query(q_domain_mix_report, SQL_DOMAIN_MIX_REPORT),
 }

@@ -295,6 +295,79 @@ FROM documents
 """
 
 
+def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup pairs: block by (lang, length bucket),
+    then prefix-banded Levenshtein within each block.
+
+    100 TB shape: the block key makes this O(sum of block²) instead of
+    all-pairs; blocks are bounded because document length is bounded.
+    Spark's three-arg ``levenshtein(l, r, threshold)`` runs the banded
+    O(n·k) DP and returns -1 past the threshold — the verify cost per
+    pair is linear, not quadratic. Distance is computed on the first
+    96 chars (the standard cheap prefilter stage; survivors would go to
+    a full verify in the dedup pipeline). Self-pairs excluded by
+    d1 < d2 inside the self-join condition (no post-filter blowup).
+
+    The synthetic corpus's duplicates are exact copies, so to exercise
+    the *near* match path the input is augmented with deterministic
+    small-edit variants (every 11th doc, one-char insertions at each
+    ' data ' token — same engine-portable injection trick as
+    ``pii_redact``); the query reports original↔variant pairs at their
+    true positive distances alongside the distance-0 exact copies."""
+    base = table(spark, sf, "documents").select("doc_id", "lang", "text")
+    mut = (
+        base.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "lang",
+            F.replace(F.col("text"), F.lit(" data "), F.lit(" dataa ")).alias(
+                "text"
+            ),
+        )
+    )
+    d = base.unionAll(mut).select(
+        "doc_id",
+        "lang",
+        (F.length("text") / 16).cast("long").alias("len_bucket"),
+        F.substring("text", 1, 96).alias("prefix"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    lev = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), 24)
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            lev.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") >= 0)
+    )
+
+
+SQL_DEDUP_FUZZY_LEVENSHTEIN = """
+WITH aug AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, replace(text, ' data ', ' dataa ')
+  FROM documents WHERE doc_id % 11 = 0
+),
+d AS (
+  SELECT doc_id, lang, length(text) // 16 AS len_bucket, substring(text, 1, 96) AS prefix
+  FROM aug
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_distance
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 24
+"""
+
+
 QUERIES: dict[str, Query] = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_keep_first": Query(q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
@@ -302,6 +375,9 @@ QUERIES: dict[str, Query] = {
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_ngram_jaccard_capped": Query(
         q_dedup_ngram_jaccard_capped, SQL_DEDUP_NGRAM_JACCARD_CAPPED
+    ),
+    "dedup_fuzzy_levenshtein": Query(
+        q_dedup_fuzzy_levenshtein, SQL_DEDUP_FUZZY_LEVENSHTEIN
     ),
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None),
     "dedup_simhash": Query(q_dedup_simhash, None),

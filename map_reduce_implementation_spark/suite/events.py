@@ -318,7 +318,56 @@ def q_recursive_chains(spark: SparkSession, sf: str) -> DataFrame:
 SQL_RECURSIVE_CHAINS = _RECURSIVE_CHAINS.format(src="events")
 
 
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per-user
+    earliest timestamp of each step via conditional aggregation (ONE
+    user-keyed shuffle, map-side partials), then each stage counts
+    users whose steps occurred in strict time order. The final rollup
+    is a single-row agg — partials combine associatively, so at 100 TB
+    this is scan → one shuffle → tiny reduce, no window, no self-join
+    (the naive formulation is 3 self-joins on events)."""
+    ev = table(spark, sf, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.col("t_view")).alias("n_view"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias(
+            "n_view_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+SQL_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(t_view) AS n_view,
+  COUNT(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+  COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END) AS n_full_funnel
+FROM per_user
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "events_funnel": Query(q_funnel, SQL_FUNNEL),
     "events_tumbling_window": Query(q_tumbling_window, SQL_TUMBLING_WINDOW),
     "events_gap_fill": Query(q_gap_fill, SQL_GAP_FILL),
     "events_click_attribution": Query(q_click_attribution, SQL_CLICK_ATTRIBUTION),

@@ -120,6 +120,10 @@ def _unhashable_cols(pdf) -> list[str]:
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only: set[str] | None = None
+    args = sys.argv[2:]
+    if "--only" in args:
+        only = set(args[args.index("--only") + 1].split(","))
     import duckdb
 
     import __spark_entry__ as e
@@ -134,6 +138,8 @@ def main() -> int:
     n_exact = n_tol = n_bad = n_rows_only = 0
     verbose = os.environ.get("CHECK_VERBOSE", "")
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         if verbose:
             print(f"... {name}", flush=True)
         sdf = fn(spark, sf)
