@@ -47,6 +47,10 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "pipeline_curation",
+    "decontaminate",
+    "tfidf_top_terms",
+    "train_shuffle",
+    "graph_pagerank",
 ]
 
 
