@@ -104,6 +104,46 @@ def cosine_pairs(
     )
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join: for EVERY query vector, its top-k cosine
+    neighbors in the corpus (vs ``cosine_topk``'s single literal query).
+
+    Plan shape: the query set is **broadcast** (query batches are
+    MB-sized; the corpus is the 100 TB side) into a nested-loop score
+    pass — one corpus scan scores all queries, no corpus shuffle. The
+    per-query top-k is a rank-filtered window, which Spark 3.5+ rewrites
+    with WindowGroupLimit: each map task keeps only k rows per query
+    BEFORE the exchange, so the shuffle carries O(|Q|·k·partitions)
+    rows, not |Q|×|corpus|. Returns
+    DataFrame[query_id, neighbor_id, sim, knn_rank]."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 9).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
 def lsh_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
 

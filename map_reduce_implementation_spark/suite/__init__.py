@@ -104,6 +104,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_funnel",
     "quality_outliers",
     "domain_mix_report",
+    "text_unigram_logprob",
+    "similarity_knn_join",
+    "events_transition_matrix",
+    "events_retention",
+    "join_nation_volume",
+    "join_returned_customers",
 )
 
 

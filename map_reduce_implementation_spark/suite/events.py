@@ -366,8 +366,116 @@ FROM per_user
 """
 
 
+def q_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | prev_type). One user-keyed window (lag)
+    over the stream, then the count/probability aggregation runs on the
+    TYPE-PAIR key space — 25 cells regardless of data size, so the
+    second shuffle and the probability window are O(|types|²), free at
+    any scale. Deterministic sequence order: (ts, event_id) tie-break."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cells = seq.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return cells.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w_prev), 6
+        ).alias("prob"),
+    )
+
+
+SQL_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT user_id,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+    event_type AS next_type
+  FROM events
+),
+cells AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions,
+  ROUND(n_transitions * 1.0 / SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS prob
+FROM cells
+"""
+
+
+def q_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day; for each
+    (cohort_day, day_offset), how many came back and what fraction of
+    the cohort that is. Two user-keyed shuffles (distinct activity days,
+    first-day cohort) + one tiny cohort-keyed agg; the cohort-size join
+    is **broadcast** (one row per day). The classic engagement query a
+    warehouse runs daily at any scale."""
+    ev = table(spark, sf, "events")
+    # day stays TIMESTAMP (midnight) — pandas date objects hash as
+    # dtype=object and diverge from the oracle's datetime64 canon
+    acts = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = acts.join(cohort, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+    )
+    ret = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return ret.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retention_rate"
+        ),
+    )
+
+
+SQL_RETENTION = """
+WITH acts AS (
+  -- CAST: DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+),
+cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM acts GROUP BY user_id),
+joined AS (
+  SELECT a.user_id, c.cohort_day,
+    CAST(datediff('day', c.cohort_day, a.day) AS INTEGER) AS day_offset
+  FROM acts a JOIN cohort c ON a.user_id = c.user_id
+),
+ret AS (
+  SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_active
+  FROM joined GROUP BY cohort_day, day_offset
+),
+sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_day)
+SELECT r.cohort_day, r.day_offset, r.n_active, s.cohort_size,
+  ROUND(r.n_active * 1.0 / s.cohort_size, 6) AS retention_rate
+FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_funnel": Query(q_funnel, SQL_FUNNEL),
+    "events_transition_matrix": Query(q_transition_matrix, SQL_TRANSITION_MATRIX),
+    "events_retention": Query(q_retention, SQL_RETENTION),
     "events_tumbling_window": Query(q_tumbling_window, SQL_TUMBLING_WINDOW),
     "events_gap_fill": Query(q_gap_fill, SQL_GAP_FILL),
     "events_click_attribution": Query(q_click_attribution, SQL_CLICK_ATTRIBUTION),

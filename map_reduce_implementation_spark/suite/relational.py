@@ -180,6 +180,94 @@ LIMIT 10
 """
 
 
+def q_join_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between nation pairs by
+    year. Both nation sides resolve through **broadcast** dims (nation,
+    supplier, customer); the only big shuffle is orders⋈lineitem on the
+    orderkey both sides already produce. The pair×year output is
+    |nations|²×years — tiny — so the final agg reduces hard."""
+    nation = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    supp = (
+        table(spark, sf, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = table(spark, sf, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(revenue_expr()).cast("double").alias("volume"))
+    )
+
+
+SQL_JOIN_NATION_VOLUME = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+  CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+def q_join_returned_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter. Dims broadcast, one orderkey shuffle, top-k
+    via TakeOrderedAndProject — same scale skeleton as Q3."""
+    nation = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    cust = table(spark, sf, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    orders = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    li = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_JOIN_RETURNED_CUSTOMERS = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def q_join_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join. All dimensions (region, nation,
     supplier, customer) are broadcast — only the orders⋈lineitem edge
@@ -648,6 +736,10 @@ QUERIES: dict[str, Query] = {
     "pivot": Query(q_pivot, SQL_PIVOT),
     "join_shipping_priority": Query(q_join_shipping_priority, SQL_JOIN_SHIPPING_PRIORITY),
     "join_region_revenue": Query(q_join_region_revenue, SQL_JOIN_REGION_REVENUE),
+    "join_nation_volume": Query(q_join_nation_volume, SQL_JOIN_NATION_VOLUME),
+    "join_returned_customers": Query(
+        q_join_returned_customers, SQL_JOIN_RETURNED_CUSTOMERS
+    ),
     "broadcast_join": Query(q_broadcast_join, SQL_BROADCAST_JOIN),
     "semi_join": Query(q_semi_join, SQL_SEMI_JOIN),
     "anti_join": Query(q_anti_join, SQL_ANTI_JOIN),

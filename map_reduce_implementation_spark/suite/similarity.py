@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import ann_lsh_topk, cosine_pairs, cosine_topk, ivf_topk
+from ..operators.similarity import (
+    ann_lsh_topk,
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    knn_join,
+)
 from ..sources import table
 from .base import Query
 
@@ -134,8 +140,50 @@ FROM embeddings
 """
 
 
+def q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact k-NN JOIN: every 50th vector is a query; each gets its
+    top-3 cosine neighbors from the rest of the corpus. Queries are
+    broadcast; WindowGroupLimit keeps k rows per query before the
+    exchange (see operators/similarity.py::knn_join)."""
+    e = table(spark, sf, "embeddings")
+    return knn_join(
+        e.filter(F.col("vec_id") % 50 == 0),
+        e.filter(F.col("vec_id") % 50 != 0),
+        k=3,
+    )
+
+
+SQL_KNN_JOIN = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id % 50 <> 0
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+    ROUND(
+      list_sum(list_transform(list_zip(c.cv, q.qv), x -> x[1] * x[2]))
+      / (
+        sqrt(list_sum(list_transform(c.cv, x -> x * x)))
+        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+      ), 9) AS sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS knn_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, Query] = {
     "similarity_cosine_topk": Query(q_cosine_topk, SQL_COSINE_TOPK),
+    "similarity_knn_join": Query(q_knn_join, SQL_KNN_JOIN),
     "similarity_cosine_pairs": Query(q_cosine_pairs_blocked, SQL_COSINE_PAIRS_BLOCKED),
     "similarity_ann_lsh": Query(q_ann_lsh_topk, None),
     "similarity_ann_ivf": Query(q_ann_ivf_topk, None),

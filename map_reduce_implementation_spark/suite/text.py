@@ -342,7 +342,51 @@ LIMIT 50
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM quality score (the cheap stand-in for the CCNet /
+    Gopher perplexity filter): train a corpus unigram model (term →
+    corpus frequency) and score each document by its average negative
+    log-likelihood. High avg-NLL = rare-token soup (gibberish, OCR
+    noise); low = boilerplate.
+
+    Plan: one tokenize pass feeds both the model build (term-keyed agg
+    → vocabulary-sized table) and the scoring join; the model is
+    **broadcast** back (a vocab fits in MBs even at 100 TB corpus
+    scale — Heaps' law), so the token stream is shuffled once (doc-keyed
+    final agg), never term-keyed on the scoring side. No OOV mass is
+    needed because the model and the scored corpus are the same."""
+    d = table(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    ctf = tok.groupBy("term").agg(F.count("*").alias("ctf"))
+    total = ctf.agg(F.sum("ctf")).collect()[0][0]  # one scalar (corpus size)
+    return (
+        tok.join(F.broadcast(ctf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                -F.sum(F.log(F.col("ctf") / F.lit(total))) / F.count("*"), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+ctf AS (SELECT term, COUNT(*) AS ctf FROM tok GROUP BY term),
+total AS (SELECT CAST(SUM(ctf) AS BIGINT) AS t FROM ctf)
+SELECT tok.doc_id, COUNT(*) AS n_tokens,
+  ROUND(-SUM(ln(ctf.ctf / total.t)) / COUNT(*), 6) AS avg_nll
+FROM tok JOIN ctf ON tok.term = ctf.term CROSS JOIN total
+GROUP BY tok.doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "text_unigram_logprob": Query(q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "text_winnow_fingerprint": Query(q_winnow_fingerprint, None),
     "text_repetition_score": Query(q_repetition_score, SQL_REPETITION_SCORE),
     "text_top_bigrams": Query(q_top_bigrams, SQL_TOP_BIGRAMS),
