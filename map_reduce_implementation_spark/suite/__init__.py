@@ -110,6 +110,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_retention",
     "join_nation_volume",
     "join_returned_customers",
+    "market_basket",
+    "approx_distinct_rollup",
 )
 
 

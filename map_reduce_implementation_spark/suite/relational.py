@@ -268,6 +268,105 @@ LIMIT 20
 """
 
 
+def q_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    """Association mining: top-50 part pairs co-occurring in orders,
+    with support and lift. The pair generation is a self-join ON THE
+    ORDER KEY — per-order item counts are bounded (a basket has a few
+    items), so pair count is O(orders·basket²), never |parts|². At
+    100 TB the guard is a per-order item cap before pairing (same
+    max_df idea as the jaccard stop-shingle cap). Item frequencies
+    join back via **broadcast** (part-dictionary-sized). Top-k plans
+    as TakeOrderedAndProject."""
+    items = (
+        table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()  # one scalar
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("item_n"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("pair_n"))
+    )
+    fa = freq.select(F.col("l_partkey").alias("p1"), F.col("item_n").alias("n1"))
+    fb = freq.select(F.col("l_partkey").alias("p2"), F.col("item_n").alias("n2"))
+    scored = (
+        pairs.join(F.broadcast(fa), "p1")
+        .join(F.broadcast(fb), "p2")
+        .select(
+            "p1",
+            "p2",
+            "pair_n",
+            F.round(F.col("pair_n") / F.lit(n_orders), 6).alias("support"),
+            F.round(
+                (F.col("pair_n") / F.lit(n_orders))
+                / (
+                    (F.col("n1") / F.lit(n_orders))
+                    * (F.col("n2") / F.lit(n_orders))
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pair_n"), F.asc("p1"), F.asc("p2")
+    ).limit(50)
+
+
+SQL_MARKET_BASKET = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+freq AS (SELECT l_partkey, COUNT(*) AS item_n FROM items GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS pair_n
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p1, p2, pair_n,
+  ROUND(pair_n / n.n_orders, 6) AS support,
+  ROUND((pair_n / n.n_orders) / ((fa.item_n / n.n_orders) * (fb.item_n / n.n_orders)), 6) AS lift
+FROM pairs
+JOIN freq fa ON pairs.p1 = fa.l_partkey
+JOIN freq fb ON pairs.p2 = fb.l_partkey
+CROSS JOIN n
+ORDER BY pair_n DESC, p1 ASC, p2 ASC
+LIMIT 50
+"""
+
+
+def q_approx_distinct_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count pattern:
+    build one HLL sketch per (lang, source) cell, then merge cell
+    sketches with ``hll_union_agg`` to per-lang distinct-doc estimates.
+    COUNT(DISTINCT) re-shuffles raw values at every rollup level;
+    sketches shuffle kilobytes and merge associatively, which is also
+    how incremental daily rollups compose. Estimates are
+    engine-specific (Apache DataSketches) → rows-only driver check;
+    the ±5% accuracy bound vs exact is asserted in tests."""
+    d = table(spark, sf, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        cells.groupBy("lang")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_docs"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .select("lang", "approx_docs", "n_rows")
+    )
+
+
 def q_join_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join. All dimensions (region, nation,
     supplier, customer) are broadcast — only the orders⋈lineitem edge
@@ -740,6 +839,8 @@ QUERIES: dict[str, Query] = {
     "join_returned_customers": Query(
         q_join_returned_customers, SQL_JOIN_RETURNED_CUSTOMERS
     ),
+    "market_basket": Query(q_market_basket, SQL_MARKET_BASKET),
+    "approx_distinct_rollup": Query(q_approx_distinct_rollup, None),
     "broadcast_join": Query(q_broadcast_join, SQL_BROADCAST_JOIN),
     "semi_join": Query(q_semi_join, SQL_SEMI_JOIN),
     "anti_join": Query(q_anti_join, SQL_ANTI_JOIN),

@@ -79,3 +79,26 @@ def test_approx_distinct_within_5pct(spark):
     rows = q_approx_distinct(spark, SF001).collect()
     for r in rows:
         assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.05
+
+
+def test_hll_rollup_within_5pct(spark):
+    """Merged (union_agg) per-lang sketches must estimate within 5% of
+    the exact per-lang distinct-doc count."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_implementation_spark.sources import table
+    from map_reduce_implementation_spark.suite.relational import (
+        q_approx_distinct_rollup,
+    )
+
+    est = {r.lang: r.approx_docs for r in q_approx_distinct_rollup(spark, SF001).collect()}
+    exact = {
+        r.lang: r.n
+        for r in table(spark, SF001, "documents")
+        .groupBy("lang")
+        .agg(F.count_distinct("doc_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) / n < 0.05, (lang, est[lang], n)
