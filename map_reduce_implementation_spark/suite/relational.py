@@ -268,6 +268,81 @@ LIMIT 20
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg, no join — the query
+    whose entire cost is the scan, so it lives or dies on predicate
+    pushdown + column pruning (plan-asserted in test_plans for the
+    scan family). One row out; partial aggs collapse map-side."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per month — conditional
+    aggregation over a broadcast part join. The CASE rides inside the
+    same partial agg as the total, so one scan + one broadcast join +
+    one month-keyed reduce covers both numerator and denominator."""
+    part = table(spark, sf, "part").select("p_partkey", "p_type")
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    rev = revenue_expr()
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "month",
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {SQL_REVENUE} END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS total_revenue,
+  ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {SQL_REVENUE} END) AS DOUBLE)
+        / CAST(SUM({SQL_REVENUE}) AS DOUBLE), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY strftime(l_shipdate, '%Y-%m')
+"""
+
+
 def q_market_basket(spark: SparkSession, sf: str) -> DataFrame:
     """Association mining: top-50 part pairs co-occurring in orders,
     with support and lift. The pair generation is a self-join ON THE
@@ -841,6 +916,8 @@ QUERIES: dict[str, Query] = {
     ),
     "market_basket": Query(q_market_basket, SQL_MARKET_BASKET),
     "approx_distinct_rollup": Query(q_approx_distinct_rollup, None),
+    "forecast_revenue": Query(q_forecast_revenue, SQL_FORECAST_REVENUE),
+    "promo_revenue_share": Query(q_promo_revenue_share, SQL_PROMO_REVENUE_SHARE),
     "broadcast_join": Query(q_broadcast_join, SQL_BROADCAST_JOIN),
     "semi_join": Query(q_semi_join, SQL_SEMI_JOIN),
     "anti_join": Query(q_anti_join, SQL_ANTI_JOIN),
