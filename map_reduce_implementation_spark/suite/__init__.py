@@ -23,6 +23,7 @@ from . import (
     similarity,
     stats,
     text,
+    tpch2,
     udfs,
 )
 
@@ -116,6 +117,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "approx_distinct_rollup",
     "forecast_revenue",
     "promo_revenue_share",
+    # round-2 TPC-H correlated/disjunctive depth (suite/tpch2.py)
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "disjunctive_filter",
+    "dormant_customers",
+    "waiting_suppliers",
 )
 
 
@@ -175,6 +182,7 @@ def all_queries() -> dict[str, Query]:
         similarity,
         multimodal,
         udfs,
+        tpch2,
     ):
         for name, q in mod.QUERIES.items():
             if name in merged:
