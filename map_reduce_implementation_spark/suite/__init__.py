@@ -18,6 +18,7 @@ from . import (
     maps,
     multimodal,
     parity,
+    pipeline2,
     relational,
     scalars2,
     similarity,
@@ -123,6 +124,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "disjunctive_filter",
     "dormant_customers",
     "waiting_suppliers",
+    # round-2 LLM-pipeline depth (suite/pipeline2.py)
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "upsert_snapshot",
+    "text_bm25_topk",
 )
 
 
@@ -183,6 +189,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         udfs,
         tpch2,
+        pipeline2,
     ):
         for name, q in mod.QUERIES.items():
             if name in merged:

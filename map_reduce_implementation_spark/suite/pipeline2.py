@@ -1,0 +1,281 @@
+"""Round-2 LLM-pipeline depth: chunking, mergeable frequency sketch,
+changelog compaction, and BM25 retrieval — the remaining data-prep
+primitives a 100 TB training pipeline needs beyond dedup/sampling.
+
+Determinism conventions (see base.py): decimal-cast sums, md5-derived
+hashes (identical bytes in Spark and DuckDB — unlike murmur3/xxhash,
+which differ per engine), fixed-order additions via pivoted columns,
+unique tie-break keys on every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import tokens as _tokens
+from ..sources import table
+from .base import Query, dec
+
+CHUNK_SIZE = 128
+CHUNK_STRIDE = 96
+SQL_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping fixed-window document chunking (context packing for
+    embedding / retrieval indexes): size 128, stride 96 → 32-char
+    overlap between consecutive chunks.
+
+    Spark shape: ``sequence()`` generates the start offsets per doc and
+    ``posexplode`` fans them out — all JVM array expressions, zero
+    shuffles, and the explode multiplies rows AFTER column pruning so
+    only (doc_id, text) ever flows. At 100 TB this is a pure map stage:
+    chunking parallelism equals scan parallelism, no repartition needed.
+    Chunk content is returned as md5 so the row stays narrow; a real
+    sink would carry the substring itself.
+    """
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.expr(f"substring(text, start_pos, {CHUNK_SIZE})")
+    return (
+        d.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start_pos"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("start_pos").cast("int").alias("start_pos"),
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text),1), {CHUNK_STRIDE})) AS start
+  FROM documents
+)
+SELECT doc_id,
+  CAST((start-1)//{CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+  CAST(start AS INTEGER) AS start_pos,
+  CAST(length(substr(text, CAST(start AS INTEGER), {CHUNK_SIZE})) AS INTEGER) AS chunk_len,
+  md5(substr(text, CAST(start AS INTEGER), {CHUNK_SIZE})) AS chunk_md5
+FROM s
+"""
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(depth: int, term) -> F.Column:
+    """Row-``depth`` count-min bucket: md5 is computed identically by
+    Spark and DuckDB, so the sketch layout (unlike murmur3-based
+    hashing) is engine-independent and oracle-checkable."""
+    h = F.md5(F.concat(F.lit(str(depth)), F.lit("|"), term))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: the mergeable frequency sketch
+    (4 rows × 1024 buckets) next to HLL (approx_distinct) and GK
+    (approx_percentile) in the sketch family.
+
+    The sketch IS a DataFrame of (row, bucket, cnt) cells — built with
+    one map-side-combining groupBy, mergeable across corpora by cell-wise
+    addition, ≤4096 rows regardless of corpus size. Estimates for the
+    exact top-20 terms come from probing the broadcast sketch; CMS
+    guarantees est_cnt >= exact_cnt (asserted in tests; equality here —
+    collisions need a vocab ≫ 1024).
+
+    At 100 TB: token stream aggregates into ≤4096 cells map-side (the
+    shuffle moves cells, not tokens); the exact-count branch exists only
+    to grade the sketch and would be dropped in production.
+    """
+    d = table(spark, sf, "documents")
+    tok = d.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    cells = (
+        tok.select(
+            F.posexplode(
+                F.array(*[_cms_bucket(i, F.col("term")) for i in range(CMS_DEPTH)])
+            ).alias("d", "bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "term")
+        .limit(20)
+    )
+    probes = exact.select(
+        "term",
+        "exact_cnt",
+        F.posexplode(
+            F.array(*[_cms_bucket(i, F.col("term")) for i in range(CMS_DEPTH)])
+        ).alias("d", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKENS}) AS term FROM documents
+), hashed AS (
+  SELECT term, d,
+         CAST(('0x' || substr(md5(d || '|' || term),1,8)) AS BIGINT) % {CMS_WIDTH} AS bucket
+  FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS d) s
+), cells AS (
+  SELECT d, bucket, COUNT(*) AS cnt FROM hashed GROUP BY d, bucket
+), exact AS (
+  SELECT term, COUNT(*) AS exact_cnt FROM tok GROUP BY term
+  ORDER BY exact_cnt DESC, term LIMIT 20
+), probes AS (
+  SELECT e.term, e.exact_cnt, s.d,
+         CAST(('0x' || substr(md5(s.d || '|' || e.term),1,8)) AS BIGINT) % {CMS_WIDTH} AS bucket
+  FROM exact e CROSS JOIN (SELECT unnest([0,1,2,3]) AS d) s
+)
+SELECT p.term, p.exact_cnt, MIN(c.cnt) AS est_cnt
+FROM probes p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY p.term, p.exact_cnt
+"""
+
+
+def q_upsert_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Changelog → snapshot compaction (CDC upsert): latest event per
+    user, ties broken by event_id. The keep-LAST twin of
+    ``dedup_keep_first`` — the shape of every "current state" view over
+    an append-only log.
+
+    One user-keyed shuffle; Spark plans the rn=1 filter as
+    WindowGroupLimit, keeping only each partition's top row before the
+    exchange (the same optimization the top-k-per-group query
+    plan-asserts). At 100 TB: compaction cost = one shuffle of the
+    changelog, and with the log bucketed by user_id it becomes
+    shuffle-free.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        table(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+SQL_UPSERT_SNAPSHOT = """
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       event_type AS last_type, value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+BM25_TERMS = ("join", "hash", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 keyword retrieval: top-20 docs for a fixed 3-term query —
+    the lexical-search complement to the embedding similarity queries
+    (hybrid retrieval = this ∪ similarity_cosine_topk).
+
+    Plan: ONE doc-keyed shuffle total. The naive formulation (separate
+    dl / tf / df aggregations re-joined on doc_id and term) costs 7
+    exchanges; instead a single groupBy(doc_id) computes dl AND the
+    three per-term tfs as conditional counts, and a single global agg
+    over that folds N, avgdl and the three dfs into one broadcast row.
+    Per-term scores are added in FIXED order — double addition is not
+    associative, so a SUM over an unordered term group could differ
+    from the oracle in the last bit; the explicit s_join+s_hash+s_scan
+    tree is identical on both engines. Top-20 via
+    TakeOrderedAndProject.
+    """
+    d = table(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    perdoc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec("dl")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1)).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+    def term_score(t: str) -> F.Column:
+        tf, df_ = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = F.log((F.col("n") - df_ + 0.5) / (df_ + 0.5) + 1.0)
+        s = idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        return F.when(tf > 0, s).otherwise(F.lit(0.0))
+
+    total = (
+        term_score(BM25_TERMS[0]) + term_score(BM25_TERMS[1]) + term_score(BM25_TERMS[2])
+    )
+    return (
+        perdoc.join(F.broadcast(stats))
+        .filter(sum(F.col(f"tf_{t}") for t in BM25_TERMS) > 0)
+        .select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(dl AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('join','hash','scan') GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0)
+      * (tf.tf * {BM25_K1 + 1.0}) / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+)
+SELECT doc_id,
+  ROUND(COALESCE(MAX(CASE WHEN term='join' THEN s END),0)
+      + COALESCE(MAX(CASE WHEN term='hash' THEN s END),0)
+      + COALESCE(MAX(CASE WHEN term='scan' THEN s END),0), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "chunk_documents": Query(q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "cms_heavy_hitters": Query(q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "upsert_snapshot": Query(q_upsert_snapshot, SQL_UPSERT_SNAPSHOT),
+    "text_bm25_topk": Query(q_bm25_topk, SQL_BM25_TOPK),
+}

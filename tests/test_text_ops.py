@@ -102,3 +102,66 @@ def test_hll_rollup_within_5pct(spark):
     assert set(est) == set(exact)
     for lang, n in exact.items():
         assert abs(est[lang] - n) / n < 0.05, (lang, est[lang], n)
+
+
+def test_cms_overestimates_under_collisions(spark):
+    """CMS invariant: est >= exact for every term, even when the sketch
+    is squeezed (width 8 forces collisions at vocab ~40) — the suite
+    query's est==exact at width 1024 must not be what the test relies on."""
+    from map_reduce_implementation_spark.suite import pipeline2 as p2
+
+    d = table(spark, SF001, "documents").limit(40)
+    tok = d.select(F.explode(
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    ).alias("term"))
+    cells = (
+        tok.select(
+            F.posexplode(
+                F.array(*[p2._cms_bucket(i, F.col("term")) % 8 for i in range(4)])
+            ).alias("d", "bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select(
+        "term", "exact_cnt",
+        F.posexplode(
+            F.array(*[p2._cms_bucket(i, F.col("term")) % 8 for i in range(4)])
+        ).alias("d", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    ).collect()
+    assert est, "no terms"
+    assert all(r.est_cnt >= r.exact_cnt for r in est)
+    assert any(r.est_cnt > r.exact_cnt for r in est), "width 8 must collide"
+
+
+def test_chunking_covers_text_with_overlap(spark):
+    """Every char of every doc is inside >=1 chunk; consecutive chunks
+    overlap by size-stride; chunk reassembly reproduces the text."""
+    from map_reduce_implementation_spark.suite.pipeline2 import (
+        CHUNK_SIZE, CHUNK_STRIDE, q_chunk_documents)
+
+    d = table(spark, SF001, "documents").limit(30)
+    docs = {r.doc_id: r.text for r in d.collect()}
+    rows = [r for r in q_chunk_documents(spark, SF001).collect() if r.doc_id in docs]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in docs.items():
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        assert chunks[0].start_pos == 1
+        last = chunks[-1]
+        assert last.start_pos + last.chunk_len - 1 == max(len(text), 1) or (
+            last.chunk_len == CHUNK_SIZE
+        )
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_pos - a.start_pos == CHUNK_STRIDE
+        # full coverage: next chunk starts before current ends (overlap) or
+        # current chunk is the tail
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_pos <= a.start_pos + CHUNK_SIZE
