@@ -129,6 +129,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_heavy_hitters",
     "upsert_snapshot",
     "text_bm25_topk",
+    "hybrid_rrf_topk",
+    "events_scd2_intervals",
+    "equi_depth_histogram",
 )
 
 

@@ -472,8 +472,95 @@ FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-Type-2 dimension build: turn the append-only event log into
+    validity intervals (valid_from, valid_to, is_current) per user — the
+    standard warehouse slowly-changing-dimension shape, and the interval
+    form consumed by as-of joins.
+
+    One user-keyed shuffle; LEAD over (ts, event_id) closes each
+    interval with the next change and leaves the last one open. At
+    100 TB this is the same single-shuffle cost as any per-key window;
+    with the log bucketed by user_id it is shuffle-free.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+SQL_SCD2_INTERVALS = """
+SELECT user_id, event_id, event_type, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+FROM events
+"""
+
+EQUI_DEPTH_PROBS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+def q_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order totals — the
+    optimizer-statistics shape, and the scale-sane alternative to a
+    global ntile: a global NTILE window would sort ALL rows into one
+    partition; instead the 9 decile boundaries come from one exact
+    ``percentile`` aggregation, are broadcast as a 9-element array, and
+    bucket assignment is a pure map (count of boundaries below the
+    value). Exactness: Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    (same interpolation), so boundaries are bit-identical.
+    """
+    orders = table(spark, sf, "orders")
+    bnds = orders.agg(
+        F.array(
+            *[
+                F.expr(f"percentile(o_totalprice, {p})")
+                for p in EQUI_DEPTH_PROBS
+            ]
+        ).alias("bnds")
+    )
+    bucket = F.size(
+        F.filter(F.col("bnds"), lambda x: F.col("o_totalprice") > x)
+    ).cast("int")
+    return (
+        orders.join(F.broadcast(bnds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+SQL_EQUI_DEPTH_HISTOGRAM = """
+WITH b AS (
+  SELECT [quantile_cont(o_totalprice, 0.1), quantile_cont(o_totalprice, 0.2),
+          quantile_cont(o_totalprice, 0.3), quantile_cont(o_totalprice, 0.4),
+          quantile_cont(o_totalprice, 0.5), quantile_cont(o_totalprice, 0.6),
+          quantile_cont(o_totalprice, 0.7), quantile_cont(o_totalprice, 0.8),
+          quantile_cont(o_totalprice, 0.9)] AS bnds
+  FROM orders
+)
+SELECT CAST(len(list_filter(b.bnds, x -> o_totalprice > x)) AS INTEGER) AS bucket,
+       COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders, b GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_funnel": Query(q_funnel, SQL_FUNNEL),
+    "events_scd2_intervals": Query(q_scd2_intervals, SQL_SCD2_INTERVALS),
+    "equi_depth_histogram": Query(q_equi_depth_histogram, SQL_EQUI_DEPTH_HISTOGRAM),
     "events_transition_matrix": Query(q_transition_matrix, SQL_TRANSITION_MATRIX),
     "events_retention": Query(q_retention, SQL_RETENTION),
     "events_tumbling_window": Query(q_tumbling_window, SQL_TUMBLING_WINDOW),

@@ -190,22 +190,10 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """BM25 keyword retrieval: top-20 docs for a fixed 3-term query —
-    the lexical-search complement to the embedding similarity queries
-    (hybrid retrieval = this ∪ similarity_cosine_topk).
-
-    Plan: ONE doc-keyed shuffle total. The naive formulation (separate
-    dl / tf / df aggregations re-joined on doc_id and term) costs 7
-    exchanges; instead a single groupBy(doc_id) computes dl AND the
-    three per-term tfs as conditional counts, and a single global agg
-    over that folds N, avgdl and the three dfs into one broadcast row.
-    Per-term scores are added in FIXED order — double addition is not
-    associative, so a SUM over an unordered term group could differ
-    from the oracle in the last bit; the explicit s_join+s_hash+s_scan
-    tree is identical on both engines. Top-20 via
-    TakeOrderedAndProject.
-    """
+def _bm25_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc BM25 scores (docs matching ≥1 query term) — shared by the
+    top-k query and the RRF hybrid fusion. See q_bm25_topk for the
+    one-shuffle plan rationale."""
     d = table(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     perdoc = tok.groupBy("doc_id").agg(
@@ -239,13 +227,33 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         perdoc.join(F.broadcast(stats))
         .filter(sum(F.col(f"tf_{t}") for t in BM25_TERMS) > 0)
         .select("doc_id", F.round(total, 6).alias("bm25"))
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 keyword retrieval: top-20 docs for a fixed 3-term query —
+    the lexical-search complement to the embedding similarity queries
+    (hybrid retrieval = this ∪ similarity_cosine_topk).
+
+    Plan: ONE doc-keyed shuffle total. The naive formulation (separate
+    dl / tf / df aggregations re-joined on doc_id and term) costs 7
+    exchanges; instead a single groupBy(doc_id) computes dl AND the
+    three per-term tfs as conditional counts, and a single global agg
+    over that folds N, avgdl and the three dfs into one broadcast row.
+    Per-term scores are added in FIXED order — double addition is not
+    associative, so a SUM over an unordered term group could differ
+    from the oracle in the last bit; the explicit s_join+s_hash+s_scan
+    tree is identical on both engines. Top-20 via
+    TakeOrderedAndProject.
+    """
+    return (
+        _bm25_scored(spark, sf)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
 
 
-SQL_BM25_TOPK = f"""
-WITH tok AS (
+SQL_BM25_CTES = f"""tok AS (
   SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
 ), dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
 stats AS (
@@ -263,13 +271,102 @@ scored AS (
     ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0)
       * (tf.tf * {BM25_K1 + 1.0}) / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) AS s
   FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+), bm AS (
+  SELECT doc_id,
+    ROUND(COALESCE(MAX(CASE WHEN term='join' THEN s END),0)
+        + COALESCE(MAX(CASE WHEN term='hash' THEN s END),0)
+        + COALESCE(MAX(CASE WHEN term='scan' THEN s END),0), 6) AS bm25
+  FROM scored GROUP BY doc_id
+)"""
+
+SQL_BM25_TOPK = f"""
+WITH {SQL_BM25_CTES}
+SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+RRF_K = 60
+RRF_POOL = 50
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking and the embedding-cosine ranking (doc_id ≡ vec_id in the
+    synthetic corpus) — rrf = Σ 1/(60 + rank), the standard
+    fusion used by hybrid search engines.
+
+    Plan: each arm is an independent top-50 TakeOrderedAndProject (no
+    global sort); ranking then runs on exactly 50 rows per arm, so the
+    unpartitioned row_number window is a 50-row single task, not a
+    scale hazard. The arms meet in a tiny full-outer join (≤100 rows).
+    At 100 TB each arm's cost is its own query (BM25: one doc-keyed
+    shuffle; cosine: one scan + TakeOrdered); fusion cost is constant.
+    """
+    from .similarity import QUERY_VEC_ID, _query_vec
+
+    bm_top = (
+        _bm25_scored(spark, sf)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    bm_ranked = bm_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r_lex"),
+    )
+    qv = _query_vec(spark, sf)
+    from ..operators.similarity import cosine_topk
+
+    cos_top = cosine_topk(
+        table(spark, sf, "embeddings"), qv, k=RRF_POOL, exclude_id=QUERY_VEC_ID
+    )
+    cos_ranked = cos_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("vec_id")))
+        .alias("r_vec"),
+    )
+    one = F.lit(1).cast("double")
+    rrf = F.round(
+        F.coalesce(one / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(one / (F.lit(RRF_K) + F.col("r_vec")), F.lit(0.0)),
+        9,
+    )
+    return (
+        bm_ranked.join(cos_ranked, "doc_id", "full_outer")
+        .select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+SQL_HYBRID_RRF_TOPK = f"""
+WITH {SQL_BM25_CTES},
+bm_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL})
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cos_scored AS (
+  SELECT e.vec_id,
+    ROUND(
+      list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv), x -> x[1] * x[2]))
+      / (
+        sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+      ), 9) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+cos_ranked AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r_vec
+  FROM (SELECT * FROM cos_scored ORDER BY sim DESC, vec_id LIMIT {RRF_POOL})
 )
-SELECT doc_id,
-  ROUND(COALESCE(MAX(CASE WHEN term='join' THEN s END),0)
-      + COALESCE(MAX(CASE WHEN term='hash' THEN s END),0)
-      + COALESCE(MAX(CASE WHEN term='scan' THEN s END),0), 6) AS bm25
-FROM scored GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id LIMIT 20
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+  ROUND(COALESCE(CAST(1 AS DOUBLE)/({RRF_K} + b.r_lex), 0)
+      + COALESCE(CAST(1 AS DOUBLE)/({RRF_K} + c.r_vec), 0), 9) AS rrf
+FROM bm_ranked b FULL OUTER JOIN cos_ranked c ON b.doc_id = c.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20
 """
 
 
@@ -278,4 +375,5 @@ QUERIES: dict[str, Query] = {
     "cms_heavy_hitters": Query(q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "upsert_snapshot": Query(q_upsert_snapshot, SQL_UPSERT_SNAPSHOT),
     "text_bm25_topk": Query(q_bm25_topk, SQL_BM25_TOPK),
+    "hybrid_rrf_topk": Query(q_hybrid_rrf_topk, SQL_HYBRID_RRF_TOPK),
 }
