@@ -15,6 +15,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -146,3 +147,108 @@ def write_single_text_file(df: DataFrame, path: str) -> None:
     ``coalesce(1)`` — only for small final results; never on 100 TB paths.
     """
     df.coalesce(1).write.mode("overwrite").text(path)
+
+
+def zorder_value(col_a, col_b, bits: int = 8) -> "F.Column":
+    """Morton (Z-order) interleave of two non-negative ints, JVM-side.
+
+    Each input must already fit in ``bits`` bits; bit i of A lands at
+    output bit 2i+1 and bit i of B at 2i — a pure shiftleft/or
+    expression tree (no UDF), so codegen fuses it into the write stage.
+    """
+    a = F.col(col_a).cast("long") if isinstance(col_a, str) else col_a.cast("long")
+    b = F.col(col_b).cast("long") if isinstance(col_b, str) else col_b.cast("long")
+    mask = (1 << bits) - 1
+    a, b = a.bitwiseAND(F.lit(mask)), b.bitwiseAND(F.lit(mask))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bit_a, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i)
+        )
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Z-order-clustered parquet: range-partition + sort by the Morton
+    interleave of two columns, so each output file covers a compact
+    rectangle in (A, B) space and its parquet min/max stats are tight on
+    BOTH columns.
+
+    Both columns are min/max-normalized onto the full 2^bits grid before
+    interleaving — raw interleave lets the wider-domain column dominate
+    the high bits and the narrow column degenerates to a full-range span
+    in every file (measured here: custkey 0-149 vs orderkey 0-1499 made
+    custkey stats useless). The min/max pass is one tiny aggregate (two
+    scalars), negligible next to the write.
+
+    Why it matters at 100 TB: hive partitioning prunes on ONE column
+    hierarchy; Z-order makes file/row-group skipping effective for point
+    and range predicates on EITHER of two correlated access columns
+    without duplicating the data. ``repartitionByRange`` samples the z
+    values for balanced splits; ``sortWithinPartitions`` tightens
+    row-group stats inside each file. (Same layout idea Delta/Iceberg
+    expose as OPTIMIZE ZORDER BY — here as a plain-parquet primitive.)
+    """
+    lo_a, hi_a, lo_b, hi_b = (
+        df.agg(
+            F.min(col_a).cast("double"),
+            F.max(col_a).cast("double"),
+            F.min(col_b).cast("double"),
+            F.max(col_b).cast("double"),
+        ).first()
+    )
+    grid = float((1 << bits) - 1)
+
+    def norm(col: str, lo: float, hi: float) -> F.Column:
+        span = (hi - lo) or 1.0
+        return F.round((F.col(col).cast("double") - F.lit(lo)) * grid / span).cast(
+            "long"
+        )
+
+    z = zorder_value(norm(col_a, lo_a, hi_a), norm(col_b, lo_b, hi_b), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. Returns the file count written.
+
+    The small-files problem is the classic 100 TB operational failure
+    (a streaming sink or over-parallel job leaves millions of KB-scale
+    files; every later scan pays per-file open cost and the driver pays
+    per-file listing). Sizing uses the actual on-disk bytes — not row
+    counts — so compression ratio carries over; the rewrite is one
+    scan + one round-robin repartition, no shuffle key needed.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(out_path)
+    return n

@@ -191,3 +191,58 @@ def test_python_datasource_synthetic_docs(spark):
         .load()
     )
     assert {r.doc_id: r.text for r in df2.collect()} == rows
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    """Z-order clustering must make per-file min/max stats selective on
+    BOTH interleaved columns; a single-column sort is selective on one."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from map_reduce_implementation_spark.sources.tables import write_zorder
+
+    orders = table(spark, SF0001, "orders").select("o_orderkey", "o_custkey")
+    zp = str(tmp_path / "orders_z")
+    write_zorder(orders, zp, "o_custkey", "o_orderkey", n_files=8)
+
+    files = sorted(glob.glob(zp + "/*.parquet"))
+    assert len(files) >= 4
+
+    def covering(colname, point):
+        n = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(colname)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            if lo <= point <= hi:
+                n += 1
+        return n
+
+    total = len(files)
+    rows = orders.count()
+    mid_cust = 75  # mid-range customer key at sf0.001
+    mid_order = rows // 2
+    assert covering("o_custkey", mid_cust) < total
+    assert covering("o_orderkey", mid_order) < total
+    # content preserved
+    assert spark.read.parquet(zp).count() == rows
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from map_reduce_implementation_spark.sources.tables import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    orders = table(spark, SF0001, "orders")
+    orders.repartition(32).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 32
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(dst + "/*.parquet")) == 1
+    a = sorted(r.o_orderkey for r in spark.read.parquet(dst).collect())
+    b = sorted(r.o_orderkey for r in orders.collect())
+    assert a == b
