@@ -214,13 +214,26 @@ def stream_stream_click_purchase(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: purchases attributed to a same-user
+    """Stream-stream join: purchases attributed to a same-user
     click within ``horizon``. BOTH sides watermarked + a time-range join
     condition — exactly what Structured Streaming needs to bound join
     state (each side keeps only rows younger than watermark+horizon).
     Works identically on batch frames (watermark applied only when
-    streaming), which is how the equivalence test pins semantics."""
+    streaming), which is how the equivalence test pins semantics.
+
+    ``how="left_outer"`` adds the abandoned-click rows: a click with no
+    purchase inside the horizon emits ONCE, null-extended, when the
+    watermark passes click_ts + horizon and the engine can prove no
+    match can still arrive. (That proof is the whole point: an outer
+    stream-stream join without watermarks on both sides AND a time
+    bound is unplannable — state would be unbounded and "no match" would
+    never be decidable. Spark rejects it; this shape is the minimal
+    plannable one.) On a finite AvailableNow run the final watermark
+    stops at max(ts) - delay, so trailing unmatched clicks younger than
+    that cutoff stay in state and are NOT emitted — the equivalence
+    test asserts exactly that boundary."""
     c = clicks
     p = purchases
     if c.isStreaming:
@@ -242,7 +255,7 @@ def stream_stream_click_purchase(
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
-        "inner",
+        how,
     ).select("c_user", "click_id", "purchase_id", "click_ts", "purchase_ts")
 
 

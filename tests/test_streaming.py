@@ -216,3 +216,57 @@ def test_state_store_reader(spark, events_dir, tmp_path):
     )
     state_total = st.agg({"value.count": "sum"}).collect()[0][0]
     assert state_total == open_events and state_total > 0
+
+
+def test_stream_stream_left_outer_join_watermark_boundary(spark, events_dir):
+    """Outer stream-stream join: unmatched clicks null-extend ONCE the
+    watermark proves no match can arrive; clicks younger than the final
+    watermark cutoff stay in state (finite AvailableNow run) and must
+    NOT be emitted. Inner rows are unaffected."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_implementation_spark.streaming.windows import (
+        stream_stream_click_purchase,
+    )
+
+    s = stream_events(spark, events_dir)
+    sdf = stream_stream_click_purchase(
+        s.filter("event_type = 'click'"),
+        s.filter("event_type = 'purchase'"),
+        how="left_outer",
+    )
+    run_available_now_to_memory(sdf, "t_ssj_outer", mode="append")
+    got = spark.table("t_ssj_outer").collect()
+
+    ev = table(spark, SF0001, "events")
+    batch = stream_stream_click_purchase(
+        ev.filter("event_type = 'click'"),
+        ev.filter("event_type = 'purchase'"),
+        how="left_outer",
+    ).collect()
+    # final watermark = max(ts) - 2h delay; an unmatched click emits only
+    # when watermark > click_ts + 1h horizon
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - dt.timedelta(hours=3)
+
+    got_inner = sorted(r for r in map(tuple, got) if r[2] is not None)
+    want_inner = sorted(r for r in map(tuple, batch) if r[2] is not None)
+    assert got_inner == want_inner and want_inner
+
+    # The exact emitted set depends on micro-batch scheduling (outer rows
+    # emit one batch AFTER the watermark advance that expires them, and a
+    # finite AvailableNow run schedules no extra batch after the last
+    # advance), so assert the scheduling-independent invariants:
+    got_outer = {r.click_id for r in got if r.purchase_id is None}
+    want_outer_all = {r.click_id for r in batch if r.purchase_id is None}
+    want_outer_held = {
+        r.click_id for r in batch if r.purchase_id is None and r.click_ts >= cutoff
+    }
+    # 1. everything emitted is a genuine batch-unmatched click
+    assert got_outer <= want_outer_all
+    # 2. nothing inside the final watermark window leaked out early
+    assert not (got_outer & want_outer_held)
+    # 3. expiry does happen (not an empty vacuous pass)
+    assert got_outer, "no unmatched clicks were expired"
