@@ -57,6 +57,12 @@ HEADLINE = [
     "upsert_snapshot",
     "waiting_suppliers",
     "large_volume_customers",
+    "hybrid_rrf_topk",
+    "text_bigram_logprob",
+    "dedup_semantic",
+    "merge_upsert",
+    "rate_limit_per_key",
+    "equi_depth_histogram",
 ]
 
 

@@ -414,3 +414,46 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.25,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster embeddings with k-means, then inside each cluster drop any
+    vector that has a lower-id neighbor with cosine >= threshold.
+
+    Returns DataFrame[id_col, cell, is_kept].
+
+    Keep rule = greedy-by-id: a vector is dropped iff SOME lower-id
+    vector in its cell is a near-duplicate. The kept set is exactly the
+    per-cell minimal elements, so no two kept vectors are near-dups of
+    each other (both properties asserted in tests).
+
+    Scale shape: the O(n²) pair scan runs per CLUSTER (the whole point
+    of SemDeDup — the quadratic term is divided by k), via the same
+    blocked ``cosine_pairs`` used for embedding dedup; k-means cost is
+    ``kmeans_iters`` scans with a (k × dim)-row shuffle each, and the
+    driver only ever holds k × dim floats. Deterministic end-to-end:
+    first-k init, fixed iteration count, id-ordered keep rule.
+    """
+    from .similarity import cosine_pairs, ivf_assign, kmeans_centroids
+
+    cents = kmeans_centroids(
+        embeddings, k, n_iter=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    pairs = cosine_pairs(
+        assigned, threshold=threshold, block_col="cell", id_col=id_col, vec_col=vec_col
+    )
+    dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return assigned.join(dropped.withColumn("__drop", F.lit(True)), id_col, "left").select(
+        id_col,
+        "cell",
+        F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+    )

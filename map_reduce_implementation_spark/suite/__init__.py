@@ -132,6 +132,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hybrid_rrf_topk",
     "events_scd2_intervals",
     "equi_depth_histogram",
+    "rate_limit_per_key",
+    "merge_upsert",
+    "text_bigram_logprob",
+    "dedup_semantic",
 )
 
 

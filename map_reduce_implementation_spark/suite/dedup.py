@@ -368,8 +368,23 @@ WHERE levenshtein(a.prefix, b.prefix) <= 24
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cluster the embedding
+    space, then drop near-duplicate vectors inside each cluster —
+    the semantic-level dedup that hash/shingle methods can't see.
+    Deterministic (first-k init, fixed iterations, greedy-by-id keep),
+    but k-means is not SQL-expressible → rows-only driver check; the
+    keep-rule invariants are asserted exactly in
+    tests/test_dedup_similarity.py. Quadratic pair scan runs per
+    CLUSTER (÷k), driver holds only k×dim floats."""
+    from ..operators.dedup import semantic_dedup
+
+    return semantic_dedup(table(spark, sf, "embeddings"), k=8, threshold=0.25)
+
+
 QUERIES: dict[str, Query] = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_semantic": Query(q_dedup_semantic, None),
     "dedup_keep_first": Query(q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
     "dedup_clusters": Query(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),

@@ -557,10 +557,108 @@ FROM orders, b GROUP BY 1
 """
 
 
+def q_rate_limit_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key rate limiting: keep the first 2 events per (user, day) —
+    the per-domain crawl-politeness / per-source quota cap every
+    large-scale ingestion pipeline applies before heavier processing.
+
+    One (user, day)-keyed shuffle; rn <= k plans as WindowGroupLimit so
+    each map task keeps at most k rows per key BEFORE the exchange — at
+    100 TB the shuffle carries the capped stream, not the firehose.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", F.date_trunc("day", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        table(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+SQL_RATE_LIMIT_PER_KEY = """
+SELECT event_id, user_id, ts, event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                           ORDER BY ts, event_id) <= 2
+"""
+
+MERGE_SPLIT_TS = "2024-01-15"
+
+
+def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO semantics as a batch plan: a base snapshot (state
+    before the split date) full-outer-joined with a compacted changelog
+    delta; the delta wins per key, and each row is tagged
+    inserted/updated/unchanged — the Delta/Iceberg MERGE shape on plain
+    DataFrames.
+
+    Plan: both sides compact with the same keep-last window (one
+    user-keyed shuffle each, WindowGroupLimit), and the full outer join
+    re-uses that partitioning — Catalyst plans no extra exchange for
+    the join. At 100 TB the delta is normally ≪ base, so the join flips
+    to broadcast under AQE; semantics are unchanged.
+    """
+    from pyspark.sql import Window
+
+    def compact(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "ts", "event_type")
+        )
+
+    ev = table(spark, sf, "events")
+    base = compact(ev.filter(F.col("ts") < MERGE_SPLIT_TS)).alias("b")
+    delta = compact(ev.filter(F.col("ts") >= MERGE_SPLIT_TS)).alias("d")
+    pick = lambda c: F.coalesce(F.col(f"d.{c}"), F.col(f"b.{c}"))  # noqa: E731
+    return base.join(
+        delta, F.col("b.user_id") == F.col("d.user_id"), "full_outer"
+    ).select(
+        pick("user_id").alias("user_id"),
+        pick("event_id").alias("last_event_id"),
+        pick("ts").alias("last_ts"),
+        pick("event_type").alias("last_type"),
+        F.when(F.col("d.user_id").isNull(), "unchanged")
+        .when(F.col("b.user_id").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_op"),
+    )
+
+
+SQL_MERGE_UPSERT = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+  WHERE ts < TIMESTAMP '{MERGE_SPLIT_TS}'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+), delta AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+  WHERE ts >= TIMESTAMP '{MERGE_SPLIT_TS}'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+       COALESCE(d.event_id, b.event_id) AS last_event_id,
+       COALESCE(d.ts, b.ts) AS last_ts,
+       COALESCE(d.event_type, b.event_type) AS last_type,
+       CASE WHEN d.user_id IS NULL THEN 'unchanged'
+            WHEN b.user_id IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_op
+FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_funnel": Query(q_funnel, SQL_FUNNEL),
     "events_scd2_intervals": Query(q_scd2_intervals, SQL_SCD2_INTERVALS),
     "equi_depth_histogram": Query(q_equi_depth_histogram, SQL_EQUI_DEPTH_HISTOGRAM),
+    "rate_limit_per_key": Query(q_rate_limit_per_key, SQL_RATE_LIMIT_PER_KEY),
+    "merge_upsert": Query(q_merge_upsert, SQL_MERGE_UPSERT),
     "events_transition_matrix": Query(q_transition_matrix, SQL_TRANSITION_MATRIX),
     "events_retention": Query(q_retention, SQL_RETENTION),
     "events_tumbling_window": Query(q_tumbling_window, SQL_TUMBLING_WINDOW),

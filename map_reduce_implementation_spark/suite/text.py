@@ -385,8 +385,71 @@ GROUP BY tok.doc_id
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM fluency score: average −ln P(cur|prev) per doc, the
+    conditional-probability upgrade of ``text_unigram_logprob`` (the
+    CCNet/Gopher perplexity-filter family). Degenerate repeated text
+    scores near 0; incoherent token salads score high.
+
+    Plan: bigrams come from ``zip_with`` of shifted token slices — pure
+    array expressions, NO shuffle to build pairs (same idiom as
+    q_repetition_score). The model is two bounded aggregations (bigram
+    and context counts); both broadcast back, so the pair stream
+    shuffles once (the doc-keyed final agg). Model size is
+    distinct-bigram-bounded; a 100 TB run would add a min-count prune
+    before broadcast (the standard LM-filter practice) without changing
+    the plan shape.
+    """
+    d = table(spark, sf, "documents")
+    ts = _tokens(F.col("text"))
+    n = F.size(ts)
+    pair_structs = F.zip_with(
+        F.slice(ts, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    pairs = (
+        d.select("doc_id", F.explode(pair_structs).alias("b"))
+        .select("doc_id", "b.prev", "b.cur")
+    )
+    c2 = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        pairs.join(F.broadcast(c2), ["prev", "cur"])
+        .join(F.broadcast(c1), ["prev"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.sum(F.log(F.col("n2").cast("double") / F.col("n1")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll2"),
+        )
+    )
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS b
+  FROM t WHERE len(toks) >= 2
+), pairs AS (
+  SELECT doc_id, b[1] AS prev, b[2] AS cur FROM bg
+), c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM pairs GROUP BY 1,2),
+c1 AS (SELECT prev, COUNT(*) AS n1 FROM pairs GROUP BY 1)
+SELECT p.doc_id, COUNT(*) AS n_bigrams,
+  ROUND(-SUM(ln(CAST(c2.n2 AS DOUBLE) / c1.n1)) / COUNT(*), 6) AS avg_nll2
+FROM pairs p JOIN c2 ON p.prev = c2.prev AND p.cur = c2.cur JOIN c1 ON p.prev = c1.prev
+GROUP BY p.doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "text_unigram_logprob": Query(q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "text_bigram_logprob": Query(q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "text_winnow_fingerprint": Query(q_winnow_fingerprint, None),
     "text_repetition_score": Query(q_repetition_score, SQL_REPETITION_SCORE),
     "text_top_bigrams": Query(q_top_bigrams, SQL_TOP_BIGRAMS),

@@ -163,3 +163,34 @@ def test_jaccard_max_df_cap_is_contained(spark):
     assert full, "fixture must produce near-dup pairs"
     assert set(capped) <= set(full)
     assert all(capped[p] <= full[p] + 1e-12 for p in capped)
+
+
+def test_semantic_dedup_keep_rule_invariants(spark):
+    """SemDeDup greedy-by-id keep rule: (1) every dropped vector has a
+    lower-id near-dup in its cell; (2) kept vectors are pairwise
+    non-near-dup within a cell (the kept set is the per-cell minimal
+    elements); (3) deterministic across runs."""
+    from map_reduce_implementation_spark.operators.dedup import semantic_dedup
+    from map_reduce_implementation_spark.operators.similarity import cosine_pairs
+
+    emb = table(spark, SF001, "embeddings")
+    out = semantic_dedup(emb, k=4, threshold=0.2)
+    rows = out.collect()
+    assert {r.vec_id for r in rows} == {r.vec_id for r in emb.select("vec_id").collect()}
+
+    assigned = out.select("vec_id", "cell")
+    with_cell = emb.join(assigned, "vec_id")
+    pairs = {
+        (r.id1, r.id2)
+        for r in cosine_pairs(with_cell, threshold=0.2, block_col="cell").collect()
+    }
+    kept = {r.vec_id for r in rows if r.is_kept}
+    dropped = {r.vec_id for r in rows if not r.is_kept}
+    assert dropped, "threshold 0.2 must produce near-dups at sf0.01"
+    for d in dropped:
+        assert any(p2 == d for (p1, p2) in pairs), f"dropped {d} has no lower-id dup"
+    for p1, p2 in pairs:
+        assert not (p1 in kept and p2 in kept), f"kept pair {p1},{p2} are near-dups"
+
+    out2 = {(r.vec_id, r.cell, r.is_kept) for r in semantic_dedup(emb, k=4, threshold=0.2).collect()}
+    assert out2 == {(r.vec_id, r.cell, r.is_kept) for r in rows}
