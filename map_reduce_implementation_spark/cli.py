@@ -32,11 +32,52 @@ def _build_parser() -> argparse.ArgumentParser:
             sp.add_argument("word", help="word to find (whole-word, case-sensitive)")
         sp.add_argument("--splits", type=int, default=None, help="scan parallelism hint")
         sp.add_argument("-o", "--output", default=None, help="write result as one text file")
+    sq = sub.add_parser("suite", help="run any registry query against a testdata dir")
+    sq.add_argument("name", nargs="?", help="query name (omit with --list)")
+    sq.add_argument("--sf", default="/root/testdata/sf0.001", help="testdata directory")
+    sq.add_argument("--limit", type=int, default=20, help="rows to print (0 = count only)")
+    sq.add_argument("--list", action="store_true", help="list all query names")
+    sq.add_argument("--explain", action="store_true", help="print the physical plan instead")
     return p
+
+
+def _run_suite(args) -> int:
+    from .session import get_spark
+    from .suite import all_queries
+
+    qs = all_queries()
+    if args.list or not args.name:
+        for name, q in qs.items():
+            print(f"{name}\t{'sql-oracle' if q.oracle else 'rows-only'}")
+        return 0
+    if args.name not in qs:
+        print(f"error: unknown query {args.name!r} (see --list)", file=sys.stderr)
+        return 2
+    if not os.path.isdir(args.sf):
+        print(f"error: {args.sf} is not a directory", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"suite-{args.name}")
+    t0 = time.monotonic_ns()
+    df = qs[args.name].build(spark, args.sf)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    rows = df.limit(args.limit).collect() if args.limit else []
+    n = df.count()
+    t1 = time.monotonic_ns()
+    for r in rows:
+        print(r)
+    print(
+        f"# query={args.name} rows={n} sf={args.sf} time_us={(t1 - t0) // 1000}",
+        file=sys.stderr,
+    )
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.job == "suite":
+        return _run_suite(args)
     if not os.path.isfile(args.input):
         print(f"error: {args.input} is not a regular file", file=sys.stderr)
         return 2

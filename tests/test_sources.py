@@ -246,3 +246,43 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     a = sorted(r.o_orderkey for r in spark.read.parquet(dst).collect())
     b = sorted(r.o_orderkey for r in orders.collect())
     assert a == b
+
+
+def test_zorder_value_bijective_and_bounded():
+    """The Morton interleave must be a bijection on the bits×bits grid
+    (distinct (a,b) → distinct z) and bounded by 2^(2·bits)."""
+    import itertools
+
+    from map_reduce_implementation_spark.sources.tables import zorder_value
+
+    # evaluate the expression tree via a local session on a literal grid
+    from map_reduce_implementation_spark.session import get_spark
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    pts = list(itertools.product(range(16), range(16)))
+    df = spark.createDataFrame(pts, ["a", "b"]).select(
+        "a", "b", zorder_value(F.col("a"), F.col("b"), bits=4).alias("z")
+    )
+    rows = df.collect()
+    zs = [r.z for r in rows]
+    assert len(set(zs)) == len(pts), "interleave must be injective"
+    assert all(0 <= z < 2**8 for z in zs)
+    # locality spot-check: neighbors in (a,b) differ by a bounded z step
+    # on the even grid (property of Morton order for the low bit)
+    zmap = {(r.a, r.b): r.z for r in rows}
+    assert zmap[(0, 0)] == 0 and zmap[(0, 1)] == 1 and zmap[(1, 0)] == 2
+
+
+def test_cli_suite_subcommand(capsys):
+    from map_reduce_implementation_spark.cli import main
+
+    rc = main(["suite", "--list"])
+    assert rc == 0
+    names = [l.split("\t")[0] for l in capsys.readouterr().out.splitlines() if l]
+    assert "pricing_summary" in names and len(names) > 100
+
+    rc = main(["suite", "letter_counter", "--sf", SF0001, "--limit", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "letter='A'" in out
+
+    assert main(["suite", "not_a_query"]) == 2
