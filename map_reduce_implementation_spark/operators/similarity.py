@@ -80,14 +80,20 @@ def cosine_pairs(
     """All pairs with cosine >= threshold, optionally blocked on a key
     (e.g. a label or an LSH bucket) so the join is never a full cross
     product. Returns DataFrame[id1, id2, sim]."""
+    # each side carries its norm as a column computed ONCE per row —
+    # sim = dot/(n1*n2) is the float-identical expression to
+    # cosine(v1, v2) (same ops, same order) but skips recomputing both
+    # norms for every one of the ~n²/blocks pairs
     x = embeddings.select(
         F.col(id_col).alias("id1"),
         _as_double(vec_col).alias("v1"),
+        norm(_as_double(vec_col)).alias("n1"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
     y = embeddings.select(
         F.col(id_col).alias("id2"),
         _as_double(vec_col).alias("v2"),
+        norm(_as_double(vec_col)).alias("n2"),
         *([F.col(block_col).alias("blk2")] if block_col else []),
     )
     cond = F.col("id1") < F.col("id2")
@@ -98,7 +104,9 @@ def cosine_pairs(
         .select(
             "id1",
             "id2",
-            F.round(cosine(F.col("v1"), F.col("v2")), 9).alias("sim"),
+            F.round(
+                dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 9
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
