@@ -423,6 +423,7 @@ def semantic_dedup(
     kmeans_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster embeddings with k-means, then inside each cluster drop any
@@ -444,7 +445,10 @@ def semantic_dedup(
     """
     from .similarity import _as_double, ivf_assign, kmeans_centroids
 
-    cents = kmeans_centroids(
+    # ``centroids`` lets callers reuse a trained quantizer (standard IVF
+    # practice: train once, assign many) — passing it skips the Lloyd
+    # iterations entirely.
+    cents = centroids or kmeans_centroids(
         embeddings, k, n_iter=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
     # Normalize ONCE and cache: the assignment expression (k × dim
