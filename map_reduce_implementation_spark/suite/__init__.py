@@ -136,6 +136,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "merge_upsert",
     "text_bigram_logprob",
     "dedup_semantic",
+    "revenue_seasonality",
 )
 
 

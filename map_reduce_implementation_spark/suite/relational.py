@@ -901,8 +901,43 @@ FROM orders
 """
 
 
+def q_revenue_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month revenue growth: the reporting time-series shape
+    (aggregate to a coarse grain, then LAG over the aggregated rows).
+    The unpartitioned window is safe BECAUSE it runs on the ~83 monthly
+    rows after aggregation, never on the fact table — the one case
+    where a global window is the right plan at any scale."""
+    li = table(spark, sf, "lineitem")
+    monthly = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round(F.lit(100.0) * (F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
+    ).orderBy("month")
+
+
+SQL_REVENUE_SEASONALITY = f"""
+WITH m AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+    CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT month, revenue,
+  lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+  ROUND(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+        / lag(revenue) OVER (ORDER BY month), 6) AS mom_pct
+FROM m ORDER BY month
+"""
+
+
 QUERIES: dict[str, Query] = {
     "filter_project": Query(q_filter_project, SQL_FILTER_PROJECT),
+    "revenue_seasonality": Query(q_revenue_seasonality, SQL_REVENUE_SEASONALITY),
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
     "agg_distinct": Query(q_agg_distinct, SQL_AGG_DISTINCT),
     "rollup": Query(q_rollup, SQL_ROLLUP),
