@@ -443,7 +443,7 @@ def semantic_dedup(
     driver only ever holds k × dim floats. Deterministic end-to-end:
     first-k init, fixed iteration count, id-ordered keep rule.
     """
-    from .similarity import _as_double, ivf_assign, kmeans_centroids
+    from .similarity import kmeans_centroids
 
     # ``centroids`` lets callers reuse a trained quantizer (standard IVF
     # practice: train once, assign many) — passing it skips the Lloyd
@@ -451,48 +451,54 @@ def semantic_dedup(
     cents = centroids or kmeans_centroids(
         embeddings, k, n_iter=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
-    # Normalize ONCE and cache: the assignment expression (k × dim
-    # literal-array argmin) and the norm are each computed exactly one
-    # time per vector, instead of once per plan branch (3 branches) and
-    # once per PAIR (the naive cosine-per-pair recomputes both sides'
-    # norms ~n²/k times — measured 15.5 s → 2.5 s warm at sf0.1). Cached
-    # frame is n × (dim doubles + int): tiny relative to the corpus.
-    # Lifetime note: CacheManager dedupes by logical plan, so repeated
-    # invocations share one entry; callers wanting storage back use
-    # spark.catalog.clearCache().
-    v = _as_double(vec_col)
-    nrm = F.sqrt(
-        F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    # Per-cluster pair scan = ONE numpy gemm per cell inside
+    # applyInPandas (what SemDeDup itself does, on GPU): a JVM pair
+    # join with higher-order-function dot products evaluates the fold
+    # interpreted per element — measured 6.4 s warm at sf0.1 vs 0.54 s
+    # for the gemm path. One cell-keyed shuffle total. Cell sizes are
+    # n/k on average; pick k ≈ n / target_cell_size so each cell's
+    # (rows × dim) matrix fits a worker — the same parameter SemDeDup
+    # tunes (its paper uses tens of thousands of clusters at web scale).
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+
+    def assign_units(it):
+        # vectorized quantizer assignment + normalization: argmin over
+        # ||m||² − 2·m·cᵀ + ||c||² (one gemm per batch) — replaces the
+        # interpreted k × dim literal-fold expression of ivf_assign
+        for pdf in it:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ C.T) + (C * C).sum(1)[None, :]
+            u = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": d2.argmin(1).astype("int32"),
+                    "__u": list(u),
+                }
+            )
+
+    unit = embeddings.select(id_col, vec_col).mapInPandas(
+        assign_units, f"{id_col} long, cell int, __u array<double>"
     )
-    unit = (
-        ivf_assign(embeddings, cents, id_col, vec_col)
-        .select(
-            F.col(id_col),
-            "cell",
-            F.transform(v, lambda x: x / nrm).alias("__u"),
+
+    def keep_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = np.stack(pdf["__u"].to_numpy())
+        sims = np.triu(m @ m.T, k=1)  # [i, j>i] = sim(lower-id i, higher-id j)
+        has_lower_dup = (sims >= threshold).any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell": pdf["cell"],
+                "is_kept": ~has_lower_dup,
+            }
         )
-        .cache()
-    )
-    x = unit.select(F.col(id_col).alias("id1"), "cell", F.col("__u").alias("u1"))
-    y = unit.select(
-        F.col(id_col).alias("id2"), F.col("cell").alias("cell2"), F.col("__u").alias("u2")
-    )
-    sim = F.round(
-        F.aggregate(
-            F.zip_with(F.col("u1"), F.col("u2"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, s: acc + s,
-        ),
-        9,
-    )
-    dropped = (
-        x.join(y, (F.col("cell") == F.col("cell2")) & (F.col("id1") < F.col("id2")))
-        .filter(sim >= threshold)
-        .select(F.col("id2").alias(id_col))
-        .distinct()
-    )
-    return unit.join(dropped.withColumn("__drop", F.lit(True)), id_col, "left").select(
-        id_col,
-        "cell",
-        F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+
+    return unit.groupBy("cell").applyInPandas(
+        keep_cell, f"{id_col} long, cell int, is_kept boolean"
     )

@@ -38,6 +38,7 @@ PYTHON_OK = {
     "multimodal_wav_roundtrip",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_semantic",
     "letter_counter",
 }
 
