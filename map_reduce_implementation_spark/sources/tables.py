@@ -41,16 +41,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which the
-    Spark 4 parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read
-    nanos as raw long via the legacy conf, then truncate to microsecond
-    timestamps — the same truncation DuckDB applies, so oracle-equal."""
-    from pyspark.sql import functions as F
-
+    """events.parquet has shipped two ``ts`` encodings across dataset
+    generations: INT64 TIMESTAMP(NANOS) — which the Spark 4 parquet reader
+    rejects outright (PARQUET_TYPE_ILLEGAL) unless read as raw long via the
+    legacy conf — and a plain TIMESTAMP(MICROS). Normalize both to a
+    microsecond timestamp column, the same value DuckDB sees."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer DIV, not `/`: double division loses precision at 1e18 ns
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(df)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Map a raw events scan to the canonical ``ts: timestamp`` column,
+    whichever physical encoding the parquet carries."""
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # integer DIV, not `/`: double division loses precision at 1e18 ns
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        # Watermarks/windows require TIMESTAMP (with zone). Session tz is
+        # pinned to UTC (session.py), so the cast preserves the instant.
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -21,24 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos in the parquet (see sources)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over events parquet (directory of files —
-    Spark's file source discovers new files as they land)."""
+    Spark's file source discovers new files as they land).
+
+    The stream schema is inferred from a one-off batch scan of the same
+    directory (readStream requires an explicit schema): the events table
+    has shipped ``ts`` as both INT64 nanos and TIMESTAMP(MICROS) across
+    dataset generations, and the batch normalizer handles both."""
+    from ..sources.tables import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    schema = spark.read.parquet(events_dir).schema
+    raw = spark.readStream.schema(schema).parquet(events_dir)
+    return normalize_events_ts(raw)
 
 
 def tumbling_counts(
