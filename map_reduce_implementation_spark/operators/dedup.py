@@ -119,12 +119,11 @@ def minhash_lsh_pairs(
     Cache lifetime: the signature table is ``.cache()``d because three
     plan branches consume it (banding + the two est re-joins) and
     recomputing the Arrow signature pass per branch measured 2.3×
-    slower warm at sf0.1. Spark's CacheManager dedupes by logical plan,
-    so repeated invocations on the same input share ONE entry
-    (~num_perm·8 B per doc) rather than accumulating; callers wanting
-    the storage back after materializing the pairs should
-    ``spark.catalog.clearCache()`` or re-derive and unpersist the
-    signature plan.
+    slower warm at sf0.1. The cache is scoped to THIS call: the pair
+    set (tiny — candidates above threshold) is materialized eagerly via
+    ``localCheckpoint`` and the signature storage is released before
+    returning, so long-lived sessions interleaving many suite/bench
+    runs see no storage-memory growth.
 
     Rejected alternative (measured): carrying ``sig`` through the band
     self-join to skip both est re-joins is 1.15 s vs 1.59 s warm at
@@ -184,7 +183,11 @@ def minhash_lsh_pairs(
             ).alias("est_jaccard"),
         )
     )
-    return est.filter(F.col("est_jaccard") >= threshold)
+    # Materialize the (small) pair set so the signature cache can be
+    # dropped now rather than leaking until session end.
+    pairs = est.filter(F.col("est_jaccard") >= threshold).localCheckpoint(eager=True)
+    sig.unpersist()
+    return pairs
 
 
 def jaccard_pairs(

@@ -31,13 +31,33 @@ TABLES = [
 ]
 
 
+# Analyzed-plan memo, scoped per live SparkSession (weak key: a stopped
+# session's entries are collectable). ``spark.read.parquet`` re-lists the
+# directory and re-reads footers for schema inference on EVERY call —
+# ~120 ms of pure driver time per table reference, which dominated the
+# suite's small-scan queries (word_finder spent more time inferring the
+# schema than running the job). A DataFrame is an immutable lazy plan, so
+# reusing it is semantically identical; the data is still scanned fresh
+# at each action. Same idea as a catalog table's cached relation.
+import weakref
+
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one star-schema table (parquet, columnar, splittable)."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in memo:
+        if name == "events":
+            memo[key] = _events(spark, sf_dir)
+        else:
+            memo[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return memo[key]
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

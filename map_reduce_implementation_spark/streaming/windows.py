@@ -21,18 +21,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+# Fallback stream schema when the directory is still empty at stream
+# definition time (a stream may legitimately start before any file
+# lands). Uses the TIMESTAMP encoding; a nanos-long directory that is
+# empty at start must pass an explicit schema instead.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, events_dir: str, schema: T.StructType | None = None
+) -> DataFrame:
     """File-source stream over events parquet (directory of files —
     Spark's file source discovers new files as they land).
 
     The stream schema is inferred from a one-off batch scan of the same
     directory (readStream requires an explicit schema): the events table
     has shipped ``ts`` as both INT64 nanos and TIMESTAMP(MICROS) across
-    dataset generations, and the batch normalizer handles both."""
+    dataset generations, and the batch normalizer handles both. If the
+    directory is empty at stream-definition time, falls back to
+    ``EVENTS_SCHEMA`` (or the caller-provided ``schema``) so the stream
+    can start before the first file lands.
+
+    NOTE: the physical schema is fixed at stream start — a given events
+    directory must stay single-encoding for the stream's lifetime.
+    Files of the other ``ts`` encoding landing later would be decoded
+    with the wrong physical type; keep encodings in separate dirs."""
     from ..sources.tables import normalize_events_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_dir).schema
+    if schema is None:
+        try:
+            schema = spark.read.parquet(events_dir).schema
+        except Exception:  # empty/missing dir: no footers to infer from
+            schema = EVENTS_SCHEMA
     raw = spark.readStream.schema(schema).parquet(events_dir)
     return normalize_events_ts(raw)
 
