@@ -226,6 +226,64 @@ def _decode_any(payload: bytes) -> tuple[int, int, int, float]:
     return _fake_decode(p)
 
 
+MEDIA_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("stat", T.DoubleType()),
+    ]
+)
+
+
+def decode_media(df_with_payload: DataFrame) -> DataFrame:
+    """Unified magic-byte media dispatch over a MIXED binary lake —
+    the production decode shape: one Arrow-batched kernel, one output
+    schema, per-row dispatch on container magic.
+
+    - ``\\x89PNG`` → real PNG decode (zlib inflate + unfilter);
+      ``stat`` = mean pixel intensity, image dims filled.
+    - ``RIFF``   → real WAVE parse (chunk walk, int16 PCM);
+      ``stat`` = sample RMS, audio fields filled.
+    - anything else → the clearly-marked deterministic fake (no
+      mp4/jpeg codec in this container); image-shaped fields from the
+      byte-length formula.
+
+    NULL-typed fields for the non-applicable modality (width for audio,
+    sample_rate for images) — the same sparse layout a multimodal
+    training-data lake carries. Only (doc_id, payload) cross the Arrow
+    boundary in; eight scalars come back per row.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:8] == PNG_MAGIC:
+                    w, h, c, mean = png_decode(p)
+                    rows.append((int(did), "png", w, h, c, None, None, float(mean)))
+                elif p[:4] == b"RIFF":
+                    rate, nch, n, rms = wav_decode(p)
+                    rows.append(
+                        (int(did), "wav", None, None, nch, n, rate, float(rms))
+                    )
+                else:
+                    w, h, c, mean = _fake_decode(p)
+                    rows.append(
+                        (int(did), "unknown", w, h, c, None, None, float(mean))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_DECODED_SCHEMA.fields]
+            )
+
+    return df_with_payload.mapInPandas(batches, MEDIA_DECODED_SCHEMA)
+
+
 def decode_stub(df_with_payload: DataFrame) -> DataFrame:
     """Arrow-batched decode over the binary column via mapInPandas.
 

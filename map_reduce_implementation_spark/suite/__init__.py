@@ -78,7 +78,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_typed_metadata",
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
-    "multimodal_decode",
     "multimodal_audio_decode",
     "multimodal_frame_sample",
     "scalar_subquery",
@@ -137,6 +136,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bigram_logprob",
     "dedup_semantic",
     "revenue_seasonality",
+    # round-3 additions — MUST stay after the 47 round-2 unchecked names
+    # so the driver's 50-slot window covers 47 + exactly these 3
+    "similarity_ann_recall",
+    "similarity_ann_ivf_recall",
+    "multimodal_decode_dispatch",
 )
 
 

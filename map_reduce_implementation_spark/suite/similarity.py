@@ -181,8 +181,224 @@ FROM (
 """
 
 
+# --- ANN recall@k entries: both approximate arms graded semantically ---
+#
+# The production LSH/IVF arms (seeded gaussian hyperplanes, Lloyd-iterated
+# centroids) are engine-specific and stay rows-only. These twins re-express
+# each arm with parameters BOTH engines can derive exactly — integer-valued
+# hyperplanes from a closed-form formula, first-k vectors as centroids with
+# zero Lloyd iterations — so bucketing, probing, candidate scoring, AND the
+# recall@k number against the exact top-k are all DuckDB-hash-verified.
+# Same plan shapes and same physics as the production arms; only the
+# parameter source differs.
+
+N_PLANES = 4  # 16 buckets over 500 vectors at sf0.01
+IVF_CELLS = 8
+IVF_PROBE = 2
+
+
+def _int_plane(i: int, dim: int) -> list[float]:
+    """Hyperplane i: integer components ((i·37 + j·101) mod 19) − 9 —
+    exactly representable doubles, so sign(dot) is bit-identical across
+    engines (no gaussian literals to ship into the SQL)."""
+    return [float(((i * 37 + j * 101) % 19) - 9) for j in range(dim)]
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH recall@k, end-to-end driver-gradable: bucket every vector by
+    hyperplane sign bits, keep the query's bucket, exact-score the
+    candidates, and report |ANN∩exact| / k against the brute-force
+    top-k. One row: (k, n_candidates, hits, recall_at_k)."""
+    from ..operators.similarity import _as_double, cosine, dot, lit_vector
+
+    e = table(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf)
+    dim = len(qv)
+
+    def bucket_col(v):
+        b = F.lit(0)
+        for i in range(N_PLANES):
+            p = _as_double(lit_vector(_int_plane(i, dim)))
+            b = b + F.when(dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return b
+
+    emb = e.select("vec_id", _as_double("embedding").alias("v"))
+    wb = emb.select("vec_id", "v", bucket_col(F.col("v")).alias("bucket"))
+    qb = wb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cand = wb.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    qlit = _as_double(lit_vector(qv))
+    ann = (
+        cand.select("vec_id", F.round(cosine(F.col("v"), qlit), 9).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    exact = cosine_topk(e, qv, k=TOP_K, exclude_id=QUERY_VEC_ID).select("vec_id")
+    hits = ann.join(exact, "vec_id").agg(F.count("*").alias("hits"))
+    ncand = cand.agg(F.count("*").alias("n_candidates"))
+    return ncand.crossJoin(hits).select(
+        F.lit(TOP_K).alias("k"),
+        "n_candidates",
+        "hits",
+        (F.col("hits").cast("double") / TOP_K).alias("recall_at_k"),
+    )
+
+
+def _sql_ann_lsh_recall() -> str:
+    def plane(i: int) -> str:
+        return (
+            "list_transform(range(0, len(embedding)), "
+            f"j -> CAST((({i}*37 + j*101) % 19) - 9 AS DOUBLE))"
+        )
+
+    terms = " + ".join(
+        "(CASE WHEN list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), "
+        f"{plane(i)}), x -> x[1] * x[2])) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(N_PLANES)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {terms} AS bucket FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT b.vec_id, b.v FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT c.vec_id,
+    ROUND(list_sum(list_transform(list_zip(c.v, q.qv), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 9) AS sim
+  FROM cand c, q
+),
+ann AS (SELECT vec_id FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}),
+exact AS (
+  SELECT e.vec_id,
+    ROUND(list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 9) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+  ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
+),
+h AS (SELECT COUNT(*) AS hits FROM ann JOIN exact USING (vec_id)),
+nc AS (SELECT COUNT(*) AS n_candidates FROM cand)
+SELECT {TOP_K} AS k, n_candidates, hits, CAST(hits AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM nc, h
+"""
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF recall@k, end-to-end driver-gradable: coarse-quantize onto
+    the first-{IVF_CELLS} vectors as centroids (deterministic init,
+    zero Lloyd iterations — SQL-reproducible), probe the query's
+    {IVF_PROBE} nearest cells, exact-score the candidates, report
+    recall vs brute force. Probe-cell choice happens driver-side from
+    the same sequential-fold arithmetic both engines use (a k×dim
+    scalar computation — not a collect of data rows)."""
+    from ..operators.similarity import _as_double, cosine, ivf_assign, lit_vector
+
+    e = table(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < IVF_CELLS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    d2 = []
+    for c in cents:
+        s = 0.0
+        for a, b in zip(qv, c):
+            s += (a - b) * (a - b)
+        d2.append(s)
+    probe = [i for _, i in sorted((d, i) for i, d in enumerate(d2))[:IVF_PROBE]]
+    cand = ivf_assign(e, cents).filter(
+        F.col("cell").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID)
+    )
+    qlit = _as_double(lit_vector(qv))
+    ann = (
+        cand.select(
+            "vec_id",
+            F.round(cosine(_as_double("embedding"), qlit), 9).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    exact = cosine_topk(e, qv, k=TOP_K, exclude_id=QUERY_VEC_ID).select("vec_id")
+    hits = ann.join(exact, "vec_id").agg(F.count("*").alias("hits"))
+    ncand = cand.agg(F.count("*").alias("n_candidates"))
+    return ncand.crossJoin(hits).select(
+        F.lit(TOP_K).alias("k"),
+        "n_candidates",
+        "hits",
+        (F.col("hits").cast("double") / TOP_K).alias("recall_at_k"),
+    )
+
+
+SQL_ANN_IVF_RECALL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+cents AS (
+  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {IVF_CELLS}
+),
+probe AS (
+  SELECT c_id FROM (
+    SELECT c.c_id,
+      list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+    FROM cents c, q
+  ) ORDER BY d2 ASC, c_id ASC LIMIT {IVF_PROBE}
+),
+assign AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT e.vec_id, c.c_id,
+      list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+                 x -> (x[1]-x[2])*(x[1]-x[2]))) ASC, c.c_id ASC) AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+),
+cand AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN assign a USING (vec_id)
+  WHERE a.cell IN (SELECT c_id FROM probe) AND e.vec_id <> {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT c.vec_id,
+    ROUND(list_sum(list_transform(list_zip(c.v, q.qv), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 9) AS sim
+  FROM cand c, q
+),
+ann AS (SELECT vec_id FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}),
+exact AS (
+  SELECT e.vec_id,
+    ROUND(list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 9) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+  ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
+),
+h AS (SELECT COUNT(*) AS hits FROM ann JOIN exact USING (vec_id)),
+nc AS (SELECT COUNT(*) AS n_candidates FROM cand)
+SELECT {TOP_K} AS k, n_candidates, hits, CAST(hits AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM nc, h
+"""
+
+
 QUERIES: dict[str, Query] = {
     "similarity_cosine_topk": Query(q_cosine_topk, SQL_COSINE_TOPK),
+    "similarity_ann_recall": Query(q_ann_lsh_recall, _sql_ann_lsh_recall()),
+    "similarity_ann_ivf_recall": Query(q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "similarity_knn_join": Query(q_knn_join, SQL_KNN_JOIN),
     "similarity_cosine_pairs": Query(q_cosine_pairs_blocked, SQL_COSINE_PAIRS_BLOCKED),
     "similarity_ann_lsh": Query(q_ann_lsh_topk, None),

@@ -17,7 +17,9 @@ from map_reduce_implementation_spark.suite.dedup import (
     q_dedup_minhash_lsh,
     q_dedup_ngram_jaccard,
 )
-from map_reduce_implementation_spark.suite.multimodal import q_multimodal_decode
+from map_reduce_implementation_spark.suite.multimodal import (
+    q_multimodal_decode_dispatch,
+)
 
 from .conftest import SF001
 
@@ -72,22 +74,31 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert approx_ids & set(exact_top) or len(approx_ids) >= 1
 
 
-def test_multimodal_decode_plumbing(spark):
-    out = q_multimodal_decode(spark, SF001)
-    assert out.columns == [
-        "doc_id",
-        "byte_len",
-        "width",
-        "height",
-        "n_channels",
-        "mean_intensity",
-    ]
+def test_multimodal_decode_dispatch(spark):
+    out = q_multimodal_decode_dispatch(spark, SF001)
     rows = out.collect()
     assert len(rows) == 500
-    assert all(r.width >= 16 and r.n_channels == 3 for r in rows)
-    # deterministic fake: byte_len drives width
-    for r in rows[:20]:
-        assert r.width == 16 + r.byte_len % 64
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r.kind, []).append(r)
+    # 1/3 of docs per modality; real codec arms carry their stats
+    assert set(by_kind) == {"png", "wav", "unknown"}
+    assert all(r.doc_id % 3 == 0 for r in by_kind["png"])
+    assert all(r.doc_id % 3 == 1 for r in by_kind["wav"])
+    assert all(r.doc_id % 3 == 2 for r in by_kind["unknown"])
+    assert all(
+        r.width >= 16 and r.n_channels == 1 and r.stat is not None
+        for r in by_kind["png"]
+    )
+    assert all(
+        r.sample_rate == 16000 and 1000 <= r.n_samples < 1500 and r.stat is not None
+        for r in by_kind["wav"]
+    )
+    # fake arm: dims from byte length, stat masked in the graded projection
+    assert all(
+        r.width >= 16 and r.n_channels == 3 and r.stat is None
+        for r in by_kind["unknown"]
+    )
 
 
 def test_multimodal_audio_decode_deterministic(spark):
