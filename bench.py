@@ -108,6 +108,55 @@ def _run_noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+DOCS_X10 = os.path.join(REPO, ".bench_data", "docs_x10")
+X10_COPIES_DOCS = 10
+SCALE_QUERY = "dedup_ngram_jaccard_capped"
+
+
+def _ensure_docs_x10(spark) -> str | None:
+    """A 10× documents corpus for the scaling row: each copy shifts
+    doc_id and appends a copy-marker token, so interior shingles get
+    ~10× document frequency (the max_df cap must do real work) while
+    doc identities stay distinct. Written once, reused across rounds.
+
+    Why this row exists: the 100 TB claims for the dedup family rest on
+    the capped/posting-list shapes being linear in corpus size. A
+    two-point measurement (sf0.1 vs 10×) makes that an observed slope
+    instead of a design argument."""
+    path = os.path.join(DOCS_X10, "documents.parquet")
+    if os.path.exists(path):
+        return DOCS_X10
+    try:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        cols = base.columns
+
+        def copy_df(i: int):
+            return base.select(
+                *[
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id")
+                    if c == "doc_id"
+                    else F.concat(F.col("text"), F.lit(f" cpymark{i}")).alias("text")
+                    if c == "text"
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
+
+        df10 = reduce(
+            lambda a, b: a.unionByName(b),
+            [copy_df(i) for i in range(X10_COPIES_DOCS)],
+        )
+        df10.write.mode("overwrite").parquet(path)
+        return DOCS_X10
+    except Exception as exc:
+        print(f"docs_x10 unavailable: {exc}", file=sys.stderr)
+        return None
+
+
 def _time(fn, warmup: bool = True, runs: int = 3) -> float:
     """Best-of-N after a warm-up — the same protocol BASELINE.md used to
     measure the reference (best of 3, warm cache)."""
@@ -173,6 +222,27 @@ def main() -> int:
         except Exception as exc:
             print(f"bench {name} failed: {exc}", file=sys.stderr)
             results[name] = float("nan")
+        # storage hygiene BETWEEN queries (never inside a query's warm
+        # runs): operators that cache internally (pagerank, semdedup)
+        # must not skew later queries via executor storage pressure
+        spark.catalog.clearCache()
+
+    # --- two-point scaling row: same query, 1× and 10× corpus ---
+    scaling: dict = {}
+    x10 = _ensure_docs_x10(spark)
+    if x10:
+        q = qs[SCALE_QUERY]
+        try:
+            t1 = _time(lambda: _run_noop(q.build(spark, SF_DIR)), runs=2)
+            t10 = _time(lambda: _run_noop(q.build(spark, x10)), runs=2)
+            scaling = {
+                "query": SCALE_QUERY,
+                "sec_x1": round(t1, 4),
+                "sec_x10": round(t10, 4),
+                "slope_vs_linear": round(t10 / (10 * t1), 3),
+            }
+        except Exception as exc:
+            print(f"scaling bench failed: {exc}", file=sys.stderr)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -196,6 +266,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": {k: round(v, 4) for k, v in results.items()},
                 "throughput": throughput,
+                "scaling": scaling,
                 "sf": sf_val,
             }
         )

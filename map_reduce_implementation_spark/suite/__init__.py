@@ -25,6 +25,7 @@ from . import (
     stats,
     text,
     tpch2,
+    tpch3,
     udfs,
 )
 
@@ -141,6 +142,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "similarity_ann_recall",
     "similarity_ann_ivf_recall",
     "multimodal_decode_dispatch",
+    # past slot 50 — graded by the rotation in round 4+
+    "order_priority_check",
+    "market_share",
+    "nation_profit",
+    "top_supplier_revenue",
+    "important_part_value",
+    "part_supplier_variety",
+    "dominant_suppliers",
+    "window_rank_functions",
 )
 
 
@@ -189,6 +199,7 @@ def all_queries() -> dict[str, Query]:
         parity,
         curation,
         graph,
+        tpch3,
         relational,
         joins2,
         stats,
