@@ -29,7 +29,7 @@ PYTHON_OK = {
     "udaf_geomean",
     "udtf_sentences",
     "grouped_map_centroids",
-    "multimodal_decode",
+    "multimodal_decode_dispatch",
     "multimodal_resize",
     "multimodal_features",
     "text_winnow_fingerprint",
