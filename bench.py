@@ -110,7 +110,9 @@ def _run_noop(df) -> None:
 
 DOCS_X10 = os.path.join(REPO, ".bench_data", "docs_x10")
 X10_COPIES_DOCS = 10
-SCALE_QUERY = "dedup_ngram_jaccard_capped"
+# two flagship dedup paths: the exact capped/posting-list shape and the
+# sketch (MinHash+LSH) shape — both claimed linear-ish at 100 TB
+SCALE_QUERIES = ["dedup_ngram_jaccard_capped", "dedup_minhash_lsh"]
 
 
 def _ensure_docs_x10(spark) -> str | None:
@@ -227,22 +229,30 @@ def main() -> int:
         # must not skew later queries via executor storage pressure
         spark.catalog.clearCache()
 
-    # --- two-point scaling row: same query, 1× and 10× corpus ---
+    # --- two-point scaling rows: same query, 1× and 10× corpus ---
     scaling: dict = {}
     x10 = _ensure_docs_x10(spark)
     if x10:
-        q = qs[SCALE_QUERY]
-        try:
-            t1 = _time(lambda: _run_noop(q.build(spark, SF_DIR)), runs=2)
-            t10 = _time(lambda: _run_noop(q.build(spark, x10)), runs=2)
-            scaling = {
-                "query": SCALE_QUERY,
-                "sec_x1": round(t1, 4),
-                "sec_x10": round(t10, 4),
-                "slope_vs_linear": round(t10 / (10 * t1), 3),
-            }
-        except Exception as exc:
-            print(f"scaling bench failed: {exc}", file=sys.stderr)
+        # single cold runs on both points: the slope (not the absolute
+        # floor) is the measurement, and the 10× sketch arm is too big
+        # to repeat inside the bench budget
+        for sq in SCALE_QUERIES:
+            q = qs[sq]
+            try:
+                t1 = _time(
+                    lambda: _run_noop(q.build(spark, SF_DIR)), warmup=False, runs=1
+                )
+                t10 = _time(
+                    lambda: _run_noop(q.build(spark, x10)), warmup=False, runs=1
+                )
+                scaling[sq] = {
+                    "sec_x1": round(t1, 4),
+                    "sec_x10": round(t10, 4),
+                    "slope_vs_linear": round(t10 / (10 * t1), 3),
+                }
+            except Exception as exc:
+                print(f"scaling bench {sq} failed: {exc}", file=sys.stderr)
+            spark.catalog.clearCache()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

@@ -38,6 +38,28 @@ def test_tumbling_stream_equals_batch(spark, events_dir):
     assert got == want
 
 
+def test_stream_starts_on_empty_dir_then_sees_files(spark, tmp_path):
+    """A stream defined over an EMPTY directory must not throw at
+    definition time (schema falls back to EVENTS_SCHEMA); files landing
+    before the drain are then picked up normally."""
+    from pyspark.sql import types as T
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    sdf = tumbling_counts(stream_events(spark, str(d)))  # must not raise
+    # the drain assertion only makes sense when the staged file carries
+    # the fallback's TIMESTAMP encoding (a nanos-long generation needs an
+    # explicit schema, as stream_events documents)
+    file_ts = spark.read.parquet(f"{SF0001}/events.parquet").schema["ts"].dataType
+    if not isinstance(file_ts, T.TimestampNTZType):
+        pytest.skip("events generation is not the fallback's ts encoding")
+    shutil.copy(f"{SF0001}/events.parquet", d / "part-000.parquet")
+    run_available_now_to_memory(sdf, "t_late_start")
+    got = _sorted_rows(spark.table("t_late_start"))
+    want = _sorted_rows(tumbling_counts(table(spark, SF0001, "events")))
+    assert got == want
+
+
 def test_session_stream_equals_batch(spark, events_dir):
     sdf = session_counts(stream_events(spark, events_dir))
     run_available_now_to_memory(sdf, "t_session")
