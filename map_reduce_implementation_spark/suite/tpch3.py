@@ -169,17 +169,20 @@ def q_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"))
+        # round the EXACT decimal sum, then cast: rounding the double
+        # instead hits half-cent ties differently per engine (observed
+        # at sf0.1: one group off by $0.01)
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
     )
 
 
 SQL_NATION_PROFIT = f"""
 SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-  ROUND(CAST(SUM(
+  CAST(ROUND(SUM(
     {SQL_REVENUE}
     - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))
       * CAST('0.6' AS DECIMAL(3,1))
-  ) AS DOUBLE), 2) AS profit
+  ), 2) AS DOUBLE) AS profit
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -210,7 +213,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
         )
     )
 
@@ -222,33 +225,38 @@ WITH rev AS (
   WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, ROUND(CAST(r.total_rev AS DOUBLE), 2) AS total_revenue
+SELECT s.s_suppkey, s.s_name, CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_revenue
 FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
 WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
 """
 
 
 def q_important_part_value(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose lineitem revenue exceeds 1/500 of
-    the global total — per-key aggregate filtered against a global
-    scalar aggregate. The threshold compare is integer-exact
-    (``500·value > total`` in decimal), never a double fraction, so the
-    boundary set is deterministic. The global total is one broadcast
-    row; nothing rescans the fact table."""
+    """TPC-H Q11 shape: parts whose lineitem revenue exceeds 1.5× the
+    average part's — per-key aggregate filtered against a global scalar
+    aggregate. TPC-H's fixed fraction (0.0001/SF) must be re-tuned per
+    scale; comparing against the MEAN (``2·n·v > 3·total``) is
+    scale-invariant and keeps the same plan shape. The compare is
+    integer-multiplied decimal (exact boundary, both engines agree);
+    the global (total, n) is one broadcast row; nothing rescans the
+    fact table."""
     li = table(spark, sf, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(revenue_expr()).alias("part_value")
     )
-    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    total = per_part.agg(
+        F.sum("part_value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(
-            F.col("part_value") * F.lit(500).cast("decimal(18,0)")
-            > F.col("total_value")
+            F.col("part_value") * F.lit(2).cast("decimal(18,0)") * F.col("n_parts")
+            > F.col("total_value") * F.lit(3).cast("decimal(18,0)")
         )
         .select(
             "l_partkey",
-            F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
+            F.round("part_value", 2).cast("double").alias("part_value"),
         )
     )
 
@@ -256,10 +264,11 @@ def q_important_part_value(spark: SparkSession, sf: str) -> DataFrame:
 SQL_IMPORTANT_PART_VALUE = f"""
 WITH per_part AS (
   SELECT l_partkey, SUM({SQL_REVENUE}) AS part_value FROM lineitem GROUP BY l_partkey
-)
-SELECT l_partkey, ROUND(CAST(part_value AS DOUBLE), 2) AS part_value
-FROM per_part
-WHERE part_value * CAST(500 AS DECIMAL(18,0)) > (SELECT SUM(part_value) FROM per_part)
+),
+tot AS (SELECT SUM(part_value) AS total_value, COUNT(*) AS n_parts FROM per_part)
+SELECT l_partkey, CAST(ROUND(part_value, 2) AS DOUBLE) AS part_value
+FROM per_part, tot
+WHERE part_value * CAST(2 AS DECIMAL(18,0)) * n_parts > total_value * CAST(3 AS DECIMAL(18,0))
 """
 
 
