@@ -38,7 +38,38 @@ def _build_parser() -> argparse.ArgumentParser:
     sq.add_argument("--limit", type=int, default=20, help="rows to print (0 = count only)")
     sq.add_argument("--list", action="store_true", help="list all query names")
     sq.add_argument("--explain", action="store_true", help="print the physical plan instead")
+    sql = sub.add_parser(
+        "sql", help="run ad-hoc Spark SQL with the testdata tables registered as views"
+    )
+    sql.add_argument("query", help="ANSI SQL text (tables: region nation customer "
+                     "supplier part orders lineitem events documents embeddings)")
+    sql.add_argument("--sf", default="/root/testdata/sf0.001", help="testdata directory")
+    sql.add_argument("--limit", type=int, default=20, help="rows to print (0 = count only)")
+    sql.add_argument("--explain", action="store_true", help="print the physical plan instead")
     return p
+
+
+def _run_sql(args) -> int:
+    from .session import get_spark
+    from .sources.tables import register_views
+
+    if not os.path.isdir(args.sf):
+        print(f"error: {args.sf} is not a directory", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="sql")
+    register_views(spark, args.sf)
+    t0 = time.monotonic_ns()
+    df = spark.sql(args.query)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    rows = df.limit(args.limit).collect() if args.limit else []
+    n = df.count()
+    t1 = time.monotonic_ns()
+    for r in rows:
+        print(r)
+    print(f"# rows={n} sf={args.sf} time_us={(t1 - t0) // 1000}", file=sys.stderr)
+    return 0
 
 
 def _run_suite(args) -> int:
@@ -78,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.job == "suite":
         return _run_suite(args)
+    if args.job == "sql":
+        return _run_sql(args)
     if not os.path.isfile(args.input):
         print(f"error: {args.input} is not a regular file", file=sys.stderr)
         return 2

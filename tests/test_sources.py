@@ -286,3 +286,20 @@ def test_cli_suite_subcommand(capsys):
     assert rc == 0 and "letter='A'" in out
 
     assert main(["suite", "not_a_query"]) == 2
+
+
+def test_cli_sql_subcommand(capsys):
+    from map_reduce_implementation_spark.cli import main
+
+    rc = main(
+        [
+            "sql",
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
+            "--sf",
+            SF0001,
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "l_returnflag='A'" in out
+
+    assert main(["sql", "SELECT 1", "--sf", "/no/such/dir"]) == 2
