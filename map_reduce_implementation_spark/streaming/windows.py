@@ -38,7 +38,10 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def stream_events(
-    spark: SparkSession, events_dir: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    events_dir: str,
+    schema: T.StructType | None = None,
+    **reader_options: str,
 ) -> DataFrame:
     """File-source stream over events parquet (directory of files —
     Spark's file source discovers new files as they land).
@@ -63,7 +66,10 @@ def stream_events(
             schema = spark.read.parquet(events_dir).schema
         except Exception:  # empty/missing dir: no footers to infer from
             schema = EVENTS_SCHEMA
-    raw = spark.readStream.schema(schema).parquet(events_dir)
+    reader = spark.readStream.schema(schema)
+    for k, v in reader_options.items():  # e.g. maxFilesPerTrigger="1"
+        reader = reader.option(k, v)
+    raw = reader.parquet(events_dir)
     return normalize_events_ts(raw)
 
 
@@ -333,6 +339,62 @@ def run_foreach_batch_to_parquet(sdf: DataFrame, out_dir: str, timeout_s: int = 
         sdf.writeStream.foreachBatch(write_batch)
         .trigger(availableNow=True)
         .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+
+
+def run_incremental_rollup(
+    sdf: DataFrame, state_dir: str, key_col: str = "event_type", timeout_s: int = 120
+) -> None:
+    """Continuous-aggregate pattern (the streaming twin of
+    ``events_hypertable_rollup`` + ``merge_upsert``): each micro-batch
+    aggregates only its NEW rows and merges the per-key deltas into a
+    parquet rollup via a full-outer read-modify-write — the
+    ``foreachBatch`` escape hatch for sinks the engine can't upsert
+    natively (JDBC, object-store tables).
+
+    Scale shape: per batch, work is O(batch) + O(|keys|); the rollup
+    state is aggregate-sized and the event history is never re-read.
+    The swap is two-phase (write tmp, rewrite state) so a reader never
+    sees a half-written rollup; a real lake would use a transactional
+    table format's MERGE instead.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy(key_col).agg(F.count("*").alias("n_events"))
+        try:
+            cur = spark.read.parquet(state_dir)
+        except Exception:  # first batch: no state yet
+            cur = None
+        if cur is None:
+            merged = delta
+        else:
+            merged = (
+                cur.withColumnRenamed("n_events", "n_old")
+                .join(
+                    delta.withColumnRenamed("n_events", "n_new"),
+                    key_col,
+                    "full_outer",
+                )
+                .select(
+                    key_col,
+                    (
+                        F.coalesce("n_old", F.lit(0)) + F.coalesce("n_new", F.lit(0))
+                    ).alias("n_events"),
+                )
+            )
+        merged.write.mode("overwrite").parquet(state_dir + "_tmp")
+        spark.read.parquet(state_dir + "_tmp").write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_dir + "_ckpt")
         .start()
     )
     q.awaitTermination(timeout_s)

@@ -60,6 +60,30 @@ def test_stream_starts_on_empty_dir_then_sees_files(spark, tmp_path):
     assert got == want
 
 
+def test_incremental_rollup_across_batches(spark, tmp_path):
+    """foreachBatch continuous aggregate: two files forced into separate
+    micro-batches (maxFilesPerTrigger=1); the merged rollup must equal
+    the batch groupBy over everything."""
+    from map_reduce_implementation_spark.streaming import run_incremental_rollup
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{SF0001}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF0001}/events.parquet", d / "b.parquet")
+    state = str(tmp_path / "rollup")
+    sdf = stream_events(spark, str(d), maxFilesPerTrigger="1")
+    run_incremental_rollup(sdf, state)
+    got = _sorted_rows(spark.read.parquet(state))
+    import pyspark.sql.functions as F
+
+    want = _sorted_rows(
+        table(spark, SF0001, "events")
+        .groupBy("event_type")
+        .agg((F.count("*") * 2).alias("n_events"))
+    )
+    assert got == want
+
+
 def test_session_stream_equals_batch(spark, events_dir):
     sdf = session_counts(stream_events(spark, events_dir))
     run_available_now_to_memory(sdf, "t_session")
