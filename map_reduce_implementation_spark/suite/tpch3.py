@@ -121,7 +121,7 @@ def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_MARKET_SHARE = f"""
-SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
   ROUND(
     CAST(SUM(CASE WHEN n_s.n_name = 'NATION_5' THEN {SQL_REVENUE}
              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
@@ -177,7 +177,7 @@ def q_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_NATION_PROFIT = f"""
-SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
   CAST(ROUND(SUM(
     {SQL_REVENUE}
     - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))
