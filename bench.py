@@ -63,6 +63,14 @@ HEADLINE = [
     "merge_upsert",
     "rate_limit_per_key",
     "equi_depth_histogram",
+    # round-3 additions
+    "market_share",
+    "nation_profit",
+    "order_priority_check",
+    "similarity_ann_recall",
+    "similarity_ann_ivf_recall",
+    "multimodal_decode_dispatch",
+    "window_rank_functions",
 ]
 
 

@@ -135,10 +135,52 @@ def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Feature-extraction stub → array<float> embeddings ready for the
-    similarity operators. Rows-only."""
+    """Feature-extraction kernel (byte-histogram mod 16, L2-normed,
+    float32 — the deterministic stand-in for an ONNX/torch embedding
+    model) with a REAL value oracle: counts are integers (exact in
+    float64, any summation order), the norm is the sqrt of an exact
+    integer, and the float32 cast is replicated in SQL as CAST(..AS
+    REAL) — so three probed components compare BIT-EXACT, no rounding.
+    Valid because the corpus is pure ASCII (byte == ord(char), asserted
+    by the oracle's own arithmetic)."""
     out = feature_extract_stub(with_binary_payload(table(spark, sf, "documents")))
-    return out.select("doc_id", F.size("feature").alias("dim"))
+    return out.select(
+        "doc_id",
+        F.size("feature").alias("dim"),
+        F.col("feature")[0].cast("double").alias("f0"),
+        F.col("feature")[5].cast("double").alias("f5"),
+        F.col("feature")[10].cast("double").alias("f10"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH pos AS (
+  SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) % 16 AS b
+  FROM documents, range(1, 100000) r(i)
+  WHERE i <= length(text)
+),
+hist AS (
+  SELECT doc_id,
+    {sums},
+    sqrt({sq}) AS nrm
+  FROM pos GROUP BY doc_id
+)
+SELECT doc_id, 16 AS dim,
+  CAST(CAST(c0 / nrm AS REAL) AS DOUBLE) AS f0,
+  CAST(CAST(c5 / nrm AS REAL) AS DOUBLE) AS f5,
+  CAST(CAST(c10 / nrm AS REAL) AS DOUBLE) AS f10
+FROM hist
+""".format(
+    sums=",\n    ".join(
+        f"CAST(SUM(CASE WHEN b = {k} THEN 1 ELSE 0 END) AS DOUBLE) AS c{k}"
+        for k in range(16)
+    ),
+    sq=" + ".join(
+        f"SUM(CASE WHEN b = {k} THEN 1 ELSE 0 END)"
+        f" * SUM(CASE WHEN b = {k} THEN 1 ELSE 0 END)"
+        for k in range(16)
+    ),
+)
 
 
 def q_multimodal_typed_metadata(spark: SparkSession, sf: str) -> DataFrame:
@@ -273,5 +315,5 @@ QUERIES: dict[str, Query] = {
     ),
     "multimodal_frame_sample": Query(q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE),
     "multimodal_resize": Query(q_multimodal_resize, None),
-    "multimodal_features": Query(q_multimodal_features, None),
+    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }
