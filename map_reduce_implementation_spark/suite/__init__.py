@@ -11,6 +11,7 @@ from __future__ import annotations
 from .base import Query
 from . import (
     curation,
+    curation2,
     dedup,
     events,
     graph,
@@ -151,6 +152,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "part_supplier_variety",
     "dominant_suppliers",
     "window_rank_functions",
+    "text_novelty_score",
+    "dedup_containment",
+    "token_vocab_coverage",
+    "customer_rfm_segments",
 )
 
 
@@ -198,6 +203,7 @@ def all_queries() -> dict[str, Query]:
     for mod in (
         parity,
         curation,
+        curation2,
         graph,
         tpch3,
         relational,
