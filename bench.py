@@ -71,6 +71,10 @@ HEADLINE = [
     "similarity_ann_ivf_recall",
     "multimodal_decode_dispatch",
     "window_rank_functions",
+    "text_novelty_score",
+    "dedup_containment",
+    "token_vocab_coverage",
+    "customer_rfm_segments",
 ]
 
 
