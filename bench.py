@@ -245,15 +245,14 @@ def main() -> int:
     scaling: dict = {}
     x10 = _ensure_docs_x10(spark)
     if x10:
-        # single cold runs on both points: the slope (not the absolute
-        # floor) is the measurement, and the 10× sketch arm is too big
-        # to repeat inside the bench budget
+        # the 1× point is cheap, so measure it warm (a single cold run
+        # varied 1.7-4.5 s with JIT noise, swinging the slope 3×); the
+        # 10× point stays one cold run — too big to repeat in-budget,
+        # and a cold numerator only OVERSTATES the slope (conservative)
         for sq in SCALE_QUERIES:
             q = qs[sq]
             try:
-                t1 = _time(
-                    lambda: _run_noop(q.build(spark, SF_DIR)), warmup=False, runs=1
-                )
+                t1 = _time(lambda: _run_noop(q.build(spark, SF_DIR)), runs=2)
                 t10 = _time(
                     lambda: _run_noop(q.build(spark, x10)), warmup=False, runs=1
                 )
