@@ -156,6 +156,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "token_vocab_coverage",
     "customer_rfm_segments",
+    "dedup_repeated_substrings",
 )
 
 

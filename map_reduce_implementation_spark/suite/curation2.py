@@ -262,8 +262,78 @@ FROM q
 """
 
 
+def q_dedup_repeated_substrings(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact repeated-substring detection (the span-level dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every 10-token window is hashed; a window is REPEATED if
+    its hash occurs more than once in the whole corpus. Per doc:
+    window count, repeated count, repeated fraction — the signal a
+    pipeline uses to CUT spans rather than drop documents.
+
+    Plan: position-preserving window hashes (same bound-tokens trick as
+    ``_shingles`` — no n-gram strings materialized, positions kept), one
+    uniform hash-keyed aggregate for global counts, join back, one
+    doc-keyed aggregate. Two shuffles, both on uniform keys; the window
+    stream is longs, never text. Scales like the shingle pipeline."""
+    from ..functions import tokens
+
+    n = 10
+    d = table(spark, sf, "documents")
+    bound = d.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: F.xxhash64(t)).alias("hts"),
+    )
+    wins = bound.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.lit(0), F.size("hts") - (n - 1))),
+                lambda i: F.xxhash64(F.slice("hts", i, n)),
+            )
+        ).alias("pos", "whash"),
+    )
+    counts = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wins.join(counts, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_repeated"),
+            F.round(
+                F.avg(F.when(F.col("c") > 1, 1.0).otherwise(0.0)), 9
+            ).alias("repeated_frac"),
+        )
+    )
+
+
+SQL_DEDUP_REPEATED_SUBSTRINGS = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents
+),
+w AS (
+  SELECT doc_id, i AS pos,
+    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
+      || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] || ' ' || ts[i+8]
+      || ' ' || ts[i+9] AS win
+  FROM toks, range(1, 100000) r(i)
+  WHERE i + 9 <= len(ts)
+),
+counts AS (SELECT win, COUNT(*) AS c FROM w GROUP BY 1)
+SELECT w.doc_id, COUNT(*) AS n_windows,
+  CAST(SUM(CASE WHEN counts.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+  ROUND(AVG(CASE WHEN counts.c > 1 THEN 1.0 ELSE 0.0 END), 9) AS repeated_frac
+FROM w JOIN counts USING (win)
+GROUP BY w.doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "text_novelty_score": Query(q_text_novelty_score, SQL_TEXT_NOVELTY_SCORE),
+    "dedup_repeated_substrings": Query(
+        q_dedup_repeated_substrings, SQL_DEDUP_REPEATED_SUBSTRINGS
+    ),
     "dedup_containment": Query(q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "token_vocab_coverage": Query(
         q_token_vocab_coverage, SQL_TOKEN_VOCAB_COVERAGE
