@@ -157,6 +157,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "token_vocab_coverage",
     "customer_rfm_segments",
     "dedup_repeated_substrings",
+    "events_cohort_ltv",
 )
 
 

@@ -450,6 +450,83 @@ def q_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime value — the monetary companion to
+    ``events_retention``: users cohorted by first-active day; for each
+    (cohort_day, day_offset), the CUMULATIVE revenue the cohort has
+    produced and the per-member LTV. Revenue sums in DECIMAL (exact,
+    order-free); the running total is a window over the aggregated
+    (cohort, offset) cells only — days × offsets rows, never the event
+    stream — partitioned by cohort_day. Same two user-keyed shuffles as
+    retention + one tiny cell window; cohort sizes broadcast."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    acts = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        dec("value").alias("v"),
+    )
+    cohort = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cells = (
+        acts.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.sum("v").alias("period_rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sizes = cohort.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    cum = cells.select(
+        "cohort_day",
+        "day_offset",
+        F.sum("period_rev").over(w).alias("cum_rev"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        F.round("cum_rev", 2).cast("double").alias("cum_revenue"),
+        "cohort_size",
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("cohort_size"), 6
+        ).alias("ltv_per_user"),
+    )
+
+
+SQL_COHORT_LTV = """
+WITH acts AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM acts GROUP BY user_id),
+cells AS (
+  SELECT c.cohort_day,
+    CAST(datediff('day', c.cohort_day, a.day) AS INTEGER) AS day_offset,
+    SUM(a.v) AS period_rev
+  FROM acts a JOIN cohort c ON a.user_id = c.user_id
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_day, day_offset,
+    SUM(period_rev) OVER (PARTITION BY cohort_day ORDER BY day_offset
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM cells
+),
+sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort GROUP BY 1)
+SELECT m.cohort_day, m.day_offset,
+  CAST(ROUND(m.cum_rev, 2) AS DOUBLE) AS cum_revenue,
+  s.cohort_size,
+  ROUND(CAST(m.cum_rev AS DOUBLE) / s.cohort_size, 6) AS ltv_per_user
+FROM cum m JOIN sizes s ON m.cohort_day = s.cohort_day
+"""
+
+
 SQL_RETENTION = """
 WITH acts AS (
   -- CAST: DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP
@@ -661,6 +738,7 @@ QUERIES: dict[str, Query] = {
     "merge_upsert": Query(q_merge_upsert, SQL_MERGE_UPSERT),
     "events_transition_matrix": Query(q_transition_matrix, SQL_TRANSITION_MATRIX),
     "events_retention": Query(q_retention, SQL_RETENTION),
+    "events_cohort_ltv": Query(q_cohort_ltv, SQL_COHORT_LTV),
     "events_tumbling_window": Query(q_tumbling_window, SQL_TUMBLING_WINDOW),
     "events_gap_fill": Query(q_gap_fill, SQL_GAP_FILL),
     "events_click_attribution": Query(q_click_attribution, SQL_CLICK_ATTRIBUTION),
