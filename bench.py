@@ -120,26 +120,29 @@ def _run_noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-DOCS_X10 = os.path.join(REPO, ".bench_data", "docs_x10")
-X10_COPIES_DOCS = 10
 # two flagship dedup paths: the exact capped/posting-list shape and the
 # sketch (MinHash+LSH) shape — both claimed linear-ish at 100 TB
 SCALE_QUERIES = ["dedup_ngram_jaccard_capped", "dedup_minhash_lsh"]
+# the capped arm additionally gets a 100× point: the 100 TB claim rests
+# on the slope staying flat for ANOTHER decade of scale, not just one
+SCALE_X100_QUERY = "dedup_ngram_jaccard_capped"
 
 
-def _ensure_docs_x10(spark) -> str | None:
-    """A 10× documents corpus for the scaling row: each copy shifts
-    doc_id and appends a copy-marker token, so interior shingles get
-    ~10× document frequency (the max_df cap must do real work) while
-    doc identities stay distinct. Written once, reused across rounds.
+def _ensure_docs_xn(spark, copies: int, dirname: str) -> str | None:
+    """A ``copies``× documents corpus for the scaling rows: each copy
+    shifts doc_id and appends a copy-marker token, so interior shingles
+    get ~copies× document frequency (the max_df cap must do real work)
+    while doc identities stay distinct. Written once, reused across
+    rounds.
 
-    Why this row exists: the 100 TB claims for the dedup family rest on
-    the capped/posting-list shapes being linear in corpus size. A
-    two-point measurement (sf0.1 vs 10×) makes that an observed slope
-    instead of a design argument."""
-    path = os.path.join(DOCS_X10, "documents.parquet")
+    Why these rows exist: the 100 TB claims for the dedup family rest
+    on the capped/posting-list and LSH shapes being linear in corpus
+    size. Measured slopes (sf0.1 vs 10× vs 100×) make that an observed
+    fact instead of a design argument."""
+    out_dir = os.path.join(REPO, ".bench_data", dirname)
+    path = os.path.join(out_dir, "documents.parquet")
     if os.path.exists(path):
-        return DOCS_X10
+        return out_dir
     try:
         from functools import reduce
 
@@ -160,14 +163,14 @@ def _ensure_docs_x10(spark) -> str | None:
                 ]
             )
 
-        df10 = reduce(
+        dfn = reduce(
             lambda a, b: a.unionByName(b),
-            [copy_df(i) for i in range(X10_COPIES_DOCS)],
+            [copy_df(i) for i in range(copies)],
         )
-        df10.write.mode("overwrite").parquet(path)
-        return DOCS_X10
+        dfn.write.mode("overwrite").parquet(path)
+        return out_dir
     except Exception as exc:
-        print(f"docs_x10 unavailable: {exc}", file=sys.stderr)
+        print(f"{dirname} unavailable: {exc}", file=sys.stderr)
         return None
 
 
@@ -241,29 +244,46 @@ def main() -> int:
         # must not skew later queries via executor storage pressure
         spark.catalog.clearCache()
 
-    # --- two-point scaling rows: same query, 1× and 10× corpus ---
+    # --- scaling rows: same query at 1×, 10×, (100× for the capped arm) ---
     scaling: dict = {}
-    x10 = _ensure_docs_x10(spark)
+    x10 = _ensure_docs_xn(spark, 10, "docs_x10")
     if x10:
-        # the 1× point is cheap, so measure it warm (a single cold run
-        # varied 1.7-4.5 s with JIT noise, swinging the slope 3×); the
-        # 10× point stays one cold run — too big to repeat in-budget,
-        # and a cold numerator only OVERSTATES the slope (conservative)
+        # BOTH points are measured warm (warm-up run, then best-of-2):
+        # round 3 measured the 10× point with a single cold run and the
+        # JIT/shuffle-service warm-up alone inflated the MinHash slope
+        # from 0.69× of linear (warm) to 1.66× (cold) — the cold number
+        # measured JVM warm-up, not the algorithm. The cold first run is
+        # still reported (sec_x10_cold) so both regimes are on record.
         for sq in SCALE_QUERIES:
             q = qs[sq]
             try:
                 t1 = _time(lambda: _run_noop(q.build(spark, SF_DIR)), runs=2)
-                t10 = _time(
+                t10_cold = _time(
                     lambda: _run_noop(q.build(spark, x10)), warmup=False, runs=1
+                )
+                t10 = _time(
+                    lambda: _run_noop(q.build(spark, x10)), warmup=False, runs=2
                 )
                 scaling[sq] = {
                     "sec_x1": round(t1, 4),
+                    "sec_x10_cold": round(t10_cold, 4),
                     "sec_x10": round(t10, 4),
                     "slope_vs_linear": round(t10 / (10 * t1), 3),
                 }
             except Exception as exc:
                 print(f"scaling bench {sq} failed: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
+    x100 = _ensure_docs_xn(spark, 100, "docs_x100")
+    if x100 and SCALE_X100_QUERY in scaling:
+        q = qs[SCALE_X100_QUERY]
+        try:
+            t100 = _time(lambda: _run_noop(q.build(spark, x100)), runs=2)
+            row = scaling[SCALE_X100_QUERY]
+            row["sec_x100"] = round(t100, 4)
+            row["slope_x100_vs_linear"] = round(t100 / (100 * row["sec_x1"]), 3)
+        except Exception as exc:
+            print(f"scaling bench x100 failed: {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
