@@ -74,18 +74,30 @@ GROUP BY sh.doc_id
 
 
 def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
-    """Asymmetric containment |A∩B| / |A| ≥ 0.8 over hashed shingle
-    sets (d1 < d2 both directions reported via contained_doc). Same
-    posting-list shape as jaccard — intersections come from the
-    shingle-keyed self-join, set sizes from one aggregate — but the
-    denominator is per-SIDE, so a short quoted doc scores high even
-    when symmetric Jaccard stays low. The df≤2 cap bounds per-shingle
-    pair fan-out exactly like the capped-jaccard entry."""
+    """CAPPED asymmetric containment over hashed shingle sets (d1 < d2
+    both directions reported via contained_doc). Same posting-list
+    shape as jaccard — intersections come from the shingle-keyed
+    self-join, set sizes from one aggregate — but the denominator is
+    per-SIDE, so a short quoted doc scores high even when symmetric
+    Jaccard stays low.
+
+    Semantics, stated honestly: the df <= max_df cap (same shape as
+    ``operators.dedup.jaccard_pairs``' ``max_df``) drops shingles whose
+    corpus document-frequency exceeds the cap BEFORE the self-join, so
+    the numerator — and therefore the reported containment — is a
+    LOWER BOUND of true |A∩B|/min(|A|,|B|): overlap carried entirely
+    by ultra-common (df > max_df) shingles is not seen. That is the
+    price that bounds per-shingle pair fan-out at max_df·(max_df-1)/2
+    and keeps the join linear-ish at 100 TB; boilerplate-only overlap
+    is usually unwanted in a near-dup signal anyway. (Round 3 shipped
+    df == 2 exactly, a much looser bound, while the docstring claimed
+    true containment — both sides now compute df <= 20.)"""
+    max_df = 20
     sh = _shingles(spark, sf, 5)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
     capped = sh.join(
-        df_counts.filter(F.col("c") == 2).select("shingle"), "shingle"
+        df_counts.filter(F.col("c") <= max_df).select("shingle"), "shingle"
     )
     inter = (
         capped.alias("a")
@@ -133,7 +145,7 @@ sh AS (
   WHERE i + 4 <= len(ts)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-df AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) = 2),
+df AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
 capped AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
@@ -154,17 +166,22 @@ def q_token_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer-design curve: rank the vocabulary by frequency and
     report, at powers-of-two vocab sizes, the cumulative fraction of
     all token OCCURRENCES covered. The heavy stream collapses to one
-    (token → count) aggregate; ranking and the running sum are windows
-    over the aggregated vocab only (|V| rows, never the corpus), and
-    the output is ~10 rows. Rank ties broken by token text for a
-    deterministic curve."""
+    (token → count) aggregate; the probes only ever need rank <= 8192,
+    so the ranked prefix is taken with TakeOrderedAndProject (top-8192
+    per partition, merged on the driver-side reduce — never a global
+    sort) BEFORE the window. The row_number/running-sum window then
+    sees <= 8192 rows regardless of vocabulary size; the denominator
+    comes from the separate full aggregate. Rank ties broken by token
+    text for a deterministic curve."""
     from ..functions import tokens
 
+    max_probe = 8192
     d = table(spark, sf, "documents")
     tok = d.select(F.explode(tokens("text")).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = vocab.orderBy(F.desc("c"), F.asc("tok")).limit(max_probe)
     w = Window.orderBy(F.desc("c"), F.asc("tok"))
-    ranked = vocab.select(
+    ranked = top.select(
         "tok",
         "c",
         F.row_number().over(w).alias("rk"),
@@ -173,7 +190,7 @@ def q_token_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("cum"),
     )
     total = vocab.agg(F.sum("c").alias("total"))
-    probes = [2**k for k in range(0, 14)]  # 1 .. 8192
+    probes = [2**k for k in range(0, 14)]  # 1 .. 8192 == max_probe
     return (
         ranked.filter(F.col("rk").isin(probes))
         .crossJoin(F.broadcast(total))
@@ -208,29 +225,64 @@ WHERE rk IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 def q_customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM segmentation: per customer, recency (latest order date),
     frequency (order count), monetary (decimal-summed total), each
-    quartiled by ntile, concatenated into a 3-digit segment. One
-    custkey aggregate; the three ntile windows run over the aggregated
-    customer rows (|customers|, not |orders|) and share no raw-data
-    sort. Ties broken by custkey for deterministic quartiles."""
+    quartiled against exact percentile CUT-POINTS, concatenated into a
+    3-digit segment.
+
+    Quartiles are VALUE-based (standard RFM formulation): bucket b
+    means the value sits strictly above the (4-b)/4 percentile, so
+    tied values always share a bucket. Round 3 used three ntile
+    windows instead — rank-based and tie-splitting, but each one a
+    global unpartitioned sort over ALL customers, a single-task
+    bottleneck at 100 TB. Here the plan is: one custkey aggregate, one
+    1-row percentile aggregate (partial per-partition value maps, no
+    row sort), broadcast the cut-points, bucket with CASE — map-side
+    only after the custkey shuffle. At real scale swap `percentile`
+    for `approx_percentile` (same plan shape); the exact form is kept
+    because the DuckDB oracle reproduces its interpolation bit-for-bit
+    (quantile_cont, (n-1)*q indexing — both engines).
+
+    Recency percentiles run over epoch days (dates aren't numeric for
+    interpolation); monetary over cents-exact doubles."""
     o = table(spark, sf, "orders")
     agg = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("o_totalprice")).alias("monetary_dec"),
+    ).select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        F.unix_date(F.col("last_order").cast("date")).alias("rdays"),
+        F.col("monetary_dec").cast("double").alias("monetary_d"),
+        "monetary_dec",
     )
-    wr = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.desc("monetary_dec"), F.asc("o_custkey"))
-    return agg.select(
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = agg.agg(
+        F.percentile("rdays", qs).alias("rq"),
+        F.percentile("frequency", qs).alias("fq"),
+        F.percentile("monetary_d", qs).alias("mq"),
+    )
+
+    def bucket(col: str, cut: str):
+        # DESC quartiles: above p75 → 1, above p50 → 2, above p25 → 3
+        c = F.col(col).cast("double")
+        return (
+            F.when(c > F.col(cut)[2], 1)
+            .when(c > F.col(cut)[1], 2)
+            .when(c > F.col(cut)[0], 3)
+            .otherwise(4)
+        )
+
+    return agg.crossJoin(F.broadcast(cuts)).select(
         F.col("o_custkey").alias("custkey"),
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
+        bucket("rdays", "rq").alias("r_quartile"),
+        bucket("frequency", "fq").alias("f_quartile"),
+        bucket("monetary_d", "mq").alias("m_quartile"),
         F.concat_ws(
             "",
-            F.ntile(4).over(wr),
-            F.ntile(4).over(wf),
-            F.ntile(4).over(wm),
+            bucket("rdays", "rq"),
+            bucket("frequency", "fq"),
+            bucket("monetary_d", "mq"),
         ).alias("segment"),
         F.round(F.col("monetary_dec"), 2).cast("double").alias("monetary"),
     )
@@ -241,16 +293,26 @@ WITH agg AS (
   SELECT o_custkey,
     MAX(o_orderdate) AS last_order,
     COUNT(*) AS frequency,
-    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
-  FROM orders GROUP BY 1
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec,
+    CAST(CAST(MAX(o_orderdate) AS DATE) - DATE '1970-01-01' AS BIGINT) AS rdays,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary_d
+  FROM orders GROUP BY o_custkey
 ),
-q AS (
-  SELECT o_custkey,
-    NTILE(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r_quartile,
-    NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_quartile,
-    NTILE(4) OVER (ORDER BY monetary_dec DESC, o_custkey ASC) AS m_quartile,
-    monetary_dec
+cuts AS (
+  SELECT quantile_cont(rdays, [0.25, 0.5, 0.75]) AS rq,
+    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+    quantile_cont(monetary_d, [0.25, 0.5, 0.75]) AS mq
   FROM agg
+),
+b AS (
+  SELECT a.*,
+    CASE WHEN a.rdays > c.rq[3] THEN 1 WHEN a.rdays > c.rq[2] THEN 2
+         WHEN a.rdays > c.rq[1] THEN 3 ELSE 4 END AS r_quartile,
+    CASE WHEN a.frequency > c.fq[3] THEN 1 WHEN a.frequency > c.fq[2] THEN 2
+         WHEN a.frequency > c.fq[1] THEN 3 ELSE 4 END AS f_quartile,
+    CASE WHEN a.monetary_d > c.mq[3] THEN 1 WHEN a.monetary_d > c.mq[2] THEN 2
+         WHEN a.monetary_d > c.mq[1] THEN 3 ELSE 4 END AS m_quartile
+  FROM agg a, cuts c
 )
 SELECT o_custkey AS custkey,
   CAST(r_quartile AS INTEGER) AS r_quartile,
@@ -258,7 +320,7 @@ SELECT o_custkey AS custkey,
   CAST(m_quartile AS INTEGER) AS m_quartile,
   CAST(r_quartile AS VARCHAR) || CAST(f_quartile AS VARCHAR) || CAST(m_quartile AS VARCHAR) AS segment,
   CAST(ROUND(monetary_dec, 2) AS DOUBLE) AS monetary
-FROM q
+FROM b
 """
 
 
@@ -283,11 +345,17 @@ def q_dedup_repeated_substrings(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.transform(tokens("text"), lambda t: F.xxhash64(t)).alias("hts"),
     )
+    # Same short-doc guard as _shingles: sequence(1, 0) is DESCENDING in
+    # Spark, so a doc with < n tokens would evaluate slice(hts, 0, n) and
+    # throw — when/otherwise makes short docs yield zero windows instead.
     wins = bound.select(
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.lit(0), F.size("hts") - (n - 1))),
+                F.when(
+                    F.size("hts") >= n,
+                    F.sequence(F.lit(1), F.size("hts") - (n - 1)),
+                ).otherwise(F.array().cast("array<int>")),
                 lambda i: F.xxhash64(F.slice("hts", i, n)),
             )
         ).alias("pos", "whash"),

@@ -65,8 +65,14 @@ def _shingles(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
     bound = tokd.select(
         "doc_id", F.transform(F.col("ts"), lambda tkn: F.xxhash64(tkn)).alias("hts")
     )
+    # Docs shorter than n tokens must yield ZERO shingles: sequence(1, 0)
+    # is DESCENDING ([1, 0]) in Spark, and slice(hts, 0, n) then throws
+    # INVALID_PARAMETER_VALUE.START at runtime — guard with when/otherwise
+    # so short docs produce an empty gram array instead of erroring.
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(0), F.size("hts") - (n - 1))),
+        F.when(
+            F.size("hts") >= n, F.sequence(F.lit(1), F.size("hts") - (n - 1))
+        ).otherwise(F.array().cast("array<int>")),
         lambda i: F.xxhash64(F.slice("hts", i, n)),
     )
     return bound.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))

@@ -205,3 +205,50 @@ def test_semantic_dedup_keep_rule_invariants(spark):
 
     out2 = {(r.vec_id, r.cell, r.is_kept) for r in semantic_dedup(emb, k=4, threshold=0.2).collect()}
     assert out2 == {(r.vec_id, r.cell, r.is_kept) for r in rows}
+
+
+def test_short_docs_yield_zero_shingles_not_errors(spark, tmp_path):
+    """Docs with fewer tokens than the shingle/window width must produce
+    ZERO shingles/windows, not crash: Spark's sequence(1, 0) is a
+    DESCENDING [1, 0], so the unguarded shape evaluated slice(hts, 0, n)
+    and threw INVALID_PARAMETER_VALUE.START on any short doc."""
+    import pandas as pd
+
+    from map_reduce_implementation_spark.suite.curation2 import (
+        q_dedup_repeated_substrings,
+        q_text_novelty_score,
+    )
+    from map_reduce_implementation_spark.suite.dedup import _shingles
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "",  # zero tokens
+                "tiny doc",  # 2 tokens — under both n=5 and n=10
+                "exactly five tokens right here",  # 5 tokens
+                "this document has more than ten tokens so every window "
+                "shape can build at least one hash from it",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [0, 8, 30, 100],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+
+    sh = _shingles(spark, sf, 5)
+    per_doc = {
+        r.doc_id: r.c
+        for r in sh.groupBy("doc_id").agg(F.count("shingle").alias("c")).collect()
+    }
+    assert 1 not in per_doc and 2 not in per_doc
+    assert per_doc.get(3) == 1  # exactly-n doc: one shingle
+    assert per_doc.get(4, 0) > 1
+
+    rep = {r.doc_id: r.n_windows for r in q_dedup_repeated_substrings(spark, sf).collect()}
+    assert 1 not in rep and 2 not in rep and 3 not in rep  # all under 10 tokens
+    assert rep.get(4, 0) >= 1
+
+    nov = q_text_novelty_score(spark, sf).collect()
+    assert {r.doc_id for r in nov} == {3, 4}
