@@ -1,3 +1,3 @@
-from .tables import TABLES, register_views, table
+from .tables import TABLES, invalidate, register_views, table
 
-__all__ = ["TABLES", "table", "register_views"]
+__all__ = ["TABLES", "table", "register_views", "invalidate"]

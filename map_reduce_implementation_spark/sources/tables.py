@@ -39,11 +39,34 @@ TABLES = [
 # schema than running the job). A DataFrame is an immutable lazy plan, so
 # reusing it is semantically identical; the data is still scanned fresh
 # at each action. Same idea as a catalog table's cached relation.
+#
+# STATIC-DATA ASSUMPTION: the memoized plan pins the FILE LISTING taken
+# when the table was first referenced. Files added to (or removed from)
+# the same sf_dir later in the session are invisible to subsequent
+# table() calls — fine for the read-only benchmark dirs this serves, a
+# silent staleness hazard for a session that rewrites a table directory.
+# Callers that regenerate data mid-session must call
+# ``invalidate(spark, sf_dir)`` (or invalidate(spark) for everything)
+# to force a re-list on next use.
 import weakref
 
 _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def invalidate(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop memoized table plans so the next ``table()`` call re-lists
+    files and re-infers schema. ``sf_dir=None`` clears the whole
+    session's memo; otherwise only that directory's tables."""
+    memo = _TABLE_MEMO.get(spark)
+    if not memo:
+        return
+    if sf_dir is None:
+        memo.clear()
+    else:
+        for key in [k for k in memo if k[0] == sf_dir]:
+            del memo[key]
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

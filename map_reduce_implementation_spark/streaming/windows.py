@@ -360,7 +360,32 @@ def run_incremental_rollup(
     The swap is two-phase (write tmp, rewrite state) so a reader never
     sees a half-written rollup; a real lake would use a transactional
     table format's MERGE instead.
+
+    Replay idempotence: foreachBatch is at-least-once — if the job dies
+    AFTER the state rewrite but BEFORE the checkpoint commit, the
+    restarted stream re-runs the same batch_id. The state therefore
+    carries a ``last_batch_id`` stamp (written atomically WITH the
+    rollup rows, not as a sidecar that could desync) and a replayed
+    batch_id <= the stamp is skipped instead of double-counted. A crash
+    in the middle of the overwrite swap itself can still lose the state
+    directory — that final hole is exactly what a transactional table
+    format's MERGE closes.
     """
+    upsert = rollup_upsert(state_dir, key_col)
+    q = (
+        sdf.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+
+
+def rollup_upsert(state_dir: str, key_col: str = "event_type"):
+    """The foreachBatch merge function behind ``run_incremental_rollup``,
+    exposed so the at-least-once replay path (same batch_id delivered
+    twice) is directly testable without crashing a streaming query."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -370,8 +395,11 @@ def run_incremental_rollup(
         except Exception:  # first batch: no state yet
             cur = None
         if cur is None:
-            merged = delta
+            merged = delta.withColumn("last_batch_id", F.lit(batch_id))
         else:
+            applied = cur.agg(F.max("last_batch_id")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # at-least-once replay of an already-merged batch
             merged = (
                 cur.withColumnRenamed("n_events", "n_old")
                 .join(
@@ -384,6 +412,7 @@ def run_incremental_rollup(
                     (
                         F.coalesce("n_old", F.lit(0)) + F.coalesce("n_new", F.lit(0))
                     ).alias("n_events"),
+                    F.lit(batch_id).alias("last_batch_id"),
                 )
             )
         merged.write.mode("overwrite").parquet(state_dir + "_tmp")
@@ -391,14 +420,7 @@ def run_incremental_rollup(
             state_dir
         )
 
-    q = (
-        sdf.writeStream.foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", state_dir + "_ckpt")
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    q.stop()
+    return upsert
 
 
 def run_available_now_to_memory(

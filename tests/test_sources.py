@@ -303,3 +303,31 @@ def test_cli_sql_subcommand(capsys):
     assert rc == 0 and "l_returnflag='A'" in out
 
     assert main(["sql", "SELECT 1", "--sf", "/no/such/dir"]) == 2
+
+
+def test_table_memo_invalidate(spark, tmp_path):
+    """The table() plan memo pins the file listing at first reference
+    (documented static-data assumption); invalidate() must force a
+    re-list so appended files become visible."""
+    import pandas as pd
+
+    from map_reduce_implementation_spark.sources import invalidate, table
+
+    import os
+
+    sf = str(tmp_path)
+    os.mkdir(f"{sf}/documents.parquet")  # directory-style parquet table
+    pd.DataFrame({"doc_id": [1], "text": ["a"], "lang": ["en"],
+                  "source": ["t"], "n_chars": [1]}).to_parquet(
+        f"{sf}/documents.parquet/part-0.parquet"
+    )
+    assert table(spark, sf, "documents").count() == 1
+    # append a second file into the same table directory
+    pd.DataFrame({"doc_id": [2], "text": ["b"], "lang": ["en"],
+                  "source": ["t"], "n_chars": [1]}).to_parquet(
+        f"{sf}/documents.parquet/part-extra.parquet"
+    )
+    # memoized plan still sees the original single-file listing
+    assert table(spark, sf, "documents").count() == 1
+    invalidate(spark, sf)
+    assert table(spark, sf, "documents").count() == 2

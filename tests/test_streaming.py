@@ -73,7 +73,7 @@ def test_incremental_rollup_across_batches(spark, tmp_path):
     state = str(tmp_path / "rollup")
     sdf = stream_events(spark, str(d), maxFilesPerTrigger="1")
     run_incremental_rollup(sdf, state)
-    got = _sorted_rows(spark.read.parquet(state))
+    got = _sorted_rows(spark.read.parquet(state).drop("last_batch_id"))
     import pyspark.sql.functions as F
 
     want = _sorted_rows(
@@ -82,6 +82,18 @@ def test_incremental_rollup_across_batches(spark, tmp_path):
         .agg((F.count("*") * 2).alias("n_events"))
     )
     assert got == want
+
+    # at-least-once replay: re-delivering an already-applied batch_id
+    # (the crash-after-state-write-before-checkpoint-commit window) must
+    # be a no-op, not a double-count
+    from map_reduce_implementation_spark.streaming.windows import rollup_upsert
+
+    upsert = rollup_upsert(state)
+    replayed = table(spark, SF0001, "events")
+    upsert(replayed, 0)  # batch 0 was already merged by the stream
+    upsert(replayed, 1)  # so was batch 1
+    still = _sorted_rows(spark.read.parquet(state).drop("last_batch_id"))
+    assert still == want
 
 
 def test_session_stream_equals_batch(spark, events_dir):
