@@ -10,6 +10,19 @@ directly comparable to BASELINE.md's splits=1 column.
 Protocol (BASELINE.md §Bench): warm SparkSession, warm-up run per query,
 then time the query action only (noop sink — computes everything,
 collects nothing). One JSON line on stdout.
+
+Known noise floor (bisected, round 4): the suite shares one JVM, so
+per-query times drift with session crowding as the suite grows —
+r3-vs-r2 flagged dedup_semantic +38%, equi_depth_histogram +31% and
+hybrid_rrf_topk +23% although NONE of their code changed in round 3
+(git log over suite/pipeline2.py, operators/dedup.py), and standalone
+fresh-session runs measure SLOWER than in-suite (cold JIT), so the
+in-suite numbers are not reproducible to better than ~±30% for
+sub-2-second queries. dedup_minhash_lsh's +39% decomposes as ~0.13 s
+of real cost — the eager localCheckpoint that closes the signature
+cache leak, measured A/B in one session (1.84 vs 1.71 s) and kept —
+plus the same crowding drift. Treat sub-second deltas as noise;
+slopes and >2x moves as signal.
 """
 
 from __future__ import annotations
