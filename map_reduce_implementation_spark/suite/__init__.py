@@ -158,6 +158,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_rfm_segments",
     "dedup_repeated_substrings",
     "events_cohort_ltv",
+    # round-4 additions — keep new names AFTER every older unchecked
+    # entry so the driver's 50-slot window grades the backlog first
+    "dedup_semantic_graded",
 )
 
 

@@ -236,6 +236,94 @@ FROM pairs WHERE sim >= 0.35 GROUP BY id2
 """
 
 
+SEM_CELLS = 8
+# 0.4 ≈ the 99.9th percentile of within-cell sims on the synthetic
+# corpus — drops 3.8% at sf0.01 / 11.8% at sf0.1, a realistic dedup
+# rate (0.25, the production default over TRAINED centroids, is far
+# too greedy under this entry's untrained first-k quantizer: 91%)
+SEM_THRESHOLD = 0.4
+
+
+def q_dedup_semantic_graded(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup with a FULL value oracle — the driver-gradable twin of
+    ``dedup_semantic`` (which stays on the fast numpy-gemm path and is
+    rows-only because k-means isn't SQL). Same trick as
+    ``similarity_ann_ivf_recall``: the quantizer is made
+    engine-reproducible — centroids are the first-{SEM_CELLS} vectors,
+    ZERO Lloyd iterations — so cell assignment, the within-cell pair
+    scan, and the greedy-by-id keep rule are all expressible in
+    DuckDB and hash-verified end-to-end, not just row-counted.
+
+    Semantics match semantic_dedup exactly: a vector is dropped iff
+    SOME lower-id vector in its cell has cosine >= threshold (kept set
+    = per-cell minimal elements). Sims are sequential-fold dot
+    products rounded to 9 dp BEFORE the threshold compare, the
+    engine-agreement recipe used by every similarity oracle here.
+
+    Scale: centroid collect is SEM_CELLS x dim driver scalars
+    (bounded, same as the IVF entries); assignment is a literal-fold
+    map (no shuffle); the pair scan is one cell-keyed shuffle with the
+    quadratic term divided by the cell count — the SemDeDup shape.
+    The production arm with trained centroids + gemm is
+    ``dedup_semantic``; this entry grades the LOGIC."""
+    from ..operators.similarity import cosine_pairs, ivf_assign
+
+    e = table(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < SEM_CELLS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    assigned = ivf_assign(e, cents).select("vec_id", "embedding", "cell")
+    pairs = cosine_pairs(assigned, threshold=SEM_THRESHOLD, block_col="cell")
+    dropped = (
+        pairs.select(F.col("id2").alias("vec_id")).distinct().withColumn(
+            "is_dup", F.lit(True)
+        )
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(~F.col("is_dup"), F.lit(True)).alias("is_kept"),
+    )
+
+
+SQL_DEDUP_SEMANTIC_GRADED = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {SEM_CELLS}
+),
+assign AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT e.vec_id, c.c_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        list_sum(list_transform(list_zip(e.v, c.cv),
+                 x -> (x[1]-x[2])*(x[1]-x[2]))) ASC, c.c_id ASC) AS rk
+    FROM e, cents c
+  ) WHERE rk = 1
+),
+ev AS (
+  SELECT e.vec_id, e.v, a.cell FROM e JOIN assign a USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(
+      list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 9)
+    >= {SEM_THRESHOLD}
+)
+SELECT ev.vec_id, CAST(ev.cell AS INTEGER) AS cell,
+  (d.vec_id IS NULL) AS is_kept
+FROM ev LEFT JOIN dropped d ON ev.vec_id = d.vec_id
+"""
+
+
 def q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     """Keep-first dedup as a window (the QUALIFY pattern): row_number
     over (partition by content-hash, order by doc_id) = 1 retains the
@@ -418,4 +506,5 @@ QUERIES: dict[str, Query] = {
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None),
     "dedup_simhash": Query(q_dedup_simhash, None),
     "dedup_embedding_cosine": Query(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    "dedup_semantic_graded": Query(q_dedup_semantic_graded, SQL_DEDUP_SEMANTIC_GRADED),
 }

@@ -252,3 +252,36 @@ def test_short_docs_yield_zero_shingles_not_errors(spark, tmp_path):
 
     nov = q_text_novelty_score(spark, sf).collect()
     assert {r.doc_id for r in nov} == {3, 4}
+
+
+def test_semantic_graded_matches_gemm_path(spark):
+    """dedup_semantic_graded (JVM fold, oracle-checked) and
+    semantic_dedup (numpy gemm production arm) must agree on the same
+    quantizer: pass the graded entry's first-k centroids + threshold
+    into the production operator and compare keep decisions."""
+    from map_reduce_implementation_spark.operators.dedup import semantic_dedup
+    from map_reduce_implementation_spark.suite.dedup import (
+        SEM_CELLS,
+        SEM_THRESHOLD,
+        q_dedup_semantic_graded,
+    )
+
+    e = table(spark, SF001, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < SEM_CELLS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    gemm = {
+        r.vec_id: (r.cell, r.is_kept)
+        for r in semantic_dedup(
+            e, k=SEM_CELLS, threshold=SEM_THRESHOLD, centroids=cents
+        ).collect()
+    }
+    graded = {
+        r.vec_id: (r.cell, r.is_kept)
+        for r in q_dedup_semantic_graded(spark, SF001).collect()
+    }
+    assert gemm == graded and any(not kept for _, kept in graded.values())
