@@ -12,6 +12,7 @@ from .base import Query
 from . import (
     curation,
     curation2,
+    curation3,
     dedup,
     events,
     graph,
@@ -27,6 +28,7 @@ from . import (
     text,
     tpch2,
     tpch3,
+    tpch4,
     udfs,
 )
 
@@ -161,6 +163,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-4 additions — keep new names AFTER every older unchecked
     # entry so the driver's 50-slot window grades the backlog first
     "dedup_semantic_graded",
+    "min_cost_supplier",
+    "late_shipment_priority",
+    "domain_temperature_resample",
+    "nearest_centroid_confusion",
+    "perplexity_bucket_sample",
 )
 
 
@@ -209,8 +216,10 @@ def all_queries() -> dict[str, Query]:
         parity,
         curation,
         curation2,
+        curation3,
         graph,
         tpch3,
+        tpch4,
         relational,
         joins2,
         stats,
