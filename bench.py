@@ -23,6 +23,13 @@ of real cost — the eager localCheckpoint that closes the signature
 cache leak, measured A/B in one session (1.84 vs 1.71 s) and kept —
 plus the same crowding drift. Treat sub-second deltas as noise;
 slopes and >2x moves as signal.
+
+Deliberate r4 trade, not noise: customer_rfm_segments reads ~1.45x
+its r3 time at sf0.1 — the three global ntile windows (fast on 15k
+aggregated rows, a single-task sort on billions) were replaced by
+percentile cut-points + broadcast CASE, which costs a second
+aggregate pass here but removes the only single-task sort that grew
+with an entity count. sf0.1 pays ~0.2 s; 100 TB doesn't fall over.
 """
 
 from __future__ import annotations
@@ -88,6 +95,10 @@ HEADLINE = [
     "dedup_containment",
     "token_vocab_coverage",
     "customer_rfm_segments",
+    # round-4 additions
+    "dedup_semantic_graded",
+    "nearest_centroid_confusion",
+    "min_cost_supplier",
 ]
 
 
@@ -244,20 +255,14 @@ def main() -> int:
             finally:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
-    # --- suite headliners at SF_DIR ---
-    for name in HEADLINE:
-        q = qs[name]
-        try:
-            results[name] = _time(lambda q=q: _run_noop(q.build(spark, SF_DIR)))
-        except Exception as exc:
-            print(f"bench {name} failed: {exc}", file=sys.stderr)
-            results[name] = float("nan")
-        # storage hygiene BETWEEN queries (never inside a query's warm
-        # runs): operators that cache internally (pagerank, semdedup)
-        # must not skew later queries via executor storage pressure
-        spark.catalog.clearCache()
-
     # --- scaling rows: same query at 1×, 10×, (100× for the capped arm) ---
+    # Measured BEFORE the headline loop on purpose: a slope compares two
+    # runs of the SAME query, so both points must see the same session
+    # state. After 49 headline queries the accumulated executor
+    # storage/GC pressure inflated the MinHash 10× point ~2× (29.8 s
+    # in-suite-tail vs 13.4-15.8 s in a clean session) and turned a
+    # measured-sublinear slope into a fake 1.3×; right after startup
+    # the state is reproducible.
     scaling: dict = {}
     x10 = _ensure_docs_xn(spark, 10, "docs_x10")
     if x10:
@@ -296,6 +301,19 @@ def main() -> int:
             row["slope_x100_vs_linear"] = round(t100 / (100 * row["sec_x1"]), 3)
         except Exception as exc:
             print(f"scaling bench x100 failed: {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
+
+    # --- suite headliners at SF_DIR ---
+    for name in HEADLINE:
+        q = qs[name]
+        try:
+            results[name] = _time(lambda q=q: _run_noop(q.build(spark, SF_DIR)))
+        except Exception as exc:
+            print(f"bench {name} failed: {exc}", file=sys.stderr)
+            results[name] = float("nan")
+        # storage hygiene BETWEEN queries (never inside a query's warm
+        # runs): operators that cache internally (pagerank, semdedup)
+        # must not skew later queries via executor storage pressure
         spark.catalog.clearCache()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
