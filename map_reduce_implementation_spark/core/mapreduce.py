@@ -47,6 +47,20 @@ class MapReduceSpec:
     reduce_func: ReduceFunc
     usr_data: object = None
     reduce_parallelism: int = 1
+    # API parity with the reference's unlinked mapreduce2.c variant
+    # (mapreduce2.c:135-196): there, map-worker 0 stays alive after its
+    # map and becomes the reducer, blocking on a pipe until the parent
+    # signals — an overlap/pipelining experiment whose OUTPUT contract
+    # is identical to mapreduce.c. Under Spark the flag changes nothing
+    # at runtime because the overlap already happens: reduce tasks
+    # fetch finished map outputs while later map tasks still run, and
+    # the scheduler launches stages as soon as their parents allow —
+    # exactly the concurrency mapreduce2.c hand-builds with fork+pipe.
+    # Accepted (and tested result-identical) so a mapreduce2 caller can
+    # switch without an API delta. mapreduce2.c's fixed-up child-write
+    # wart (result fields written in the child, lost to the parent,
+    # patched at :197) is deliberately not reproduced.
+    overlap: bool = False
 
 
 @dataclass

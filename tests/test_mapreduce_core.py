@@ -89,3 +89,17 @@ def test_word_finder_map_matches_regex_oracle(lines, word):
     pat = re.compile(f"(^|[^0-9A-Za-z]){re.escape(word)}([^0-9A-Za-z]|$)")
     want = [ln for ln in lines if pat.search(ln)]
     assert got == want
+
+
+def test_overlap_variant_results_identical(spark):
+    """mapreduce2.c parity (mapreduce2.c:135-196): the overlap topology
+    changes scheduling, never output — a spec with overlap=True must be
+    result-identical to the blocking variant, lines and all."""
+    base = MapReduceSpec(ALICE, 4, letter_counter_map, letter_counter_reduce)
+    over = MapReduceSpec(
+        ALICE, 4, letter_counter_map, letter_counter_reduce, overlap=True
+    )
+    a = run_mapreduce(spark, base)
+    b = run_mapreduce(spark, over)
+    assert a.lines == b.lines and len(a.lines) == 26
+    assert b.map_partitions == a.map_partitions
