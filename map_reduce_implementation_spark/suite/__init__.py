@@ -21,6 +21,7 @@ from . import (
     multimodal,
     parity,
     pipeline2,
+    quality,
     relational,
     scalars2,
     similarity,
@@ -168,6 +169,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "domain_temperature_resample",
     "nearest_centroid_confusion",
     "perplexity_bucket_sample",
+    "integrity_audit",
+    "dataset_profile",
 )
 
 
@@ -233,6 +236,7 @@ def all_queries() -> dict[str, Query]:
         udfs,
         tpch2,
         pipeline2,
+        quality,
     ):
         for name, q in mod.QUERIES.items():
             if name in merged:
