@@ -254,12 +254,18 @@ def test_short_docs_yield_zero_shingles_not_errors(spark, tmp_path):
     assert {r.doc_id for r in nov} == {3, 4}
 
 
-def test_semantic_graded_matches_gemm_path(spark):
-    """dedup_semantic_graded (JVM fold, oracle-checked) and
-    semantic_dedup (numpy gemm production arm) must agree on the same
-    quantizer: pass the graded entry's first-k centroids + threshold
-    into the production operator and compare keep decisions."""
-    from map_reduce_implementation_spark.operators.dedup import semantic_dedup
+def test_semantic_graded_matches_fold_path(spark):
+    """dedup_semantic_graded runs the production numpy-gemm kernel; the
+    DuckDB oracle computes sequential-fold arithmetic. This test is the
+    bridge: recompute the whole query with JVM sequential folds
+    (ivf_assign + cosine_pairs — the same op order as the oracle) and
+    assert DECISION-identical output. Valid because decisions are
+    margin-stable: min |sim - threshold| is ~1e-4 at both SFs, eleven
+    orders above summation-order error."""
+    from map_reduce_implementation_spark.operators.similarity import (
+        cosine_pairs,
+        ivf_assign,
+    )
     from map_reduce_implementation_spark.suite.dedup import (
         SEM_CELLS,
         SEM_THRESHOLD,
@@ -274,14 +280,15 @@ def test_semantic_graded_matches_gemm_path(spark):
         .select("embedding")
         .collect()
     ]
-    gemm = {
-        r.vec_id: (r.cell, r.is_kept)
-        for r in semantic_dedup(
-            e, k=SEM_CELLS, threshold=SEM_THRESHOLD, centroids=cents
-        ).collect()
+    assigned = ivf_assign(e, cents).select("vec_id", "embedding", "cell")
+    pairs = cosine_pairs(assigned, threshold=SEM_THRESHOLD, block_col="cell")
+    dropped = {r.id2 for r in pairs.collect()}
+    fold = {
+        r.vec_id: (r.cell, r.vec_id not in dropped)
+        for r in assigned.select("vec_id", "cell").collect()
     }
     graded = {
         r.vec_id: (r.cell, r.is_kept)
         for r in q_dedup_semantic_graded(spark, SF001).collect()
     }
-    assert gemm == graded and any(not kept for _, kept in graded.values())
+    assert fold == graded and any(not kept for _, kept in graded.values())
