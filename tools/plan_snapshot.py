@@ -39,6 +39,7 @@ PYTHON_OK = {
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_semantic",
+    "dedup_semantic_graded",
     "letter_counter",
 }
 
