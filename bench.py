@@ -99,6 +99,10 @@ HEADLINE = [
     "dedup_semantic_graded",
     "nearest_centroid_confusion",
     "min_cost_supplier",
+    # round-4 wave 2: graded winnowing + corpus profiling
+    "text_winnow_graded",
+    "gopher_quality_gate",
+    "tokenizer_fertility",
 ]
 
 

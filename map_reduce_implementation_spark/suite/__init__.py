@@ -25,6 +25,7 @@ from . import (
     relational,
     scalars2,
     similarity,
+    sketches3,
     stats,
     text,
     tpch2,
@@ -171,6 +172,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "perplexity_bucket_sample",
     "integrity_audit",
     "dataset_profile",
+    # round-4 wave 2 — graded sketch twins + corpus profiling; still
+    # after every older unchecked entry (window: 22 backlog + 8 wave-2)
+    "dedup_minhash_graded",
+    "dedup_simhash_graded",
+    "text_winnow_graded",
+    "gopher_quality_gate",
+    "embedding_dim_stats",
+    "tokenizer_fertility",
 )
 
 
@@ -220,6 +229,7 @@ def all_queries() -> dict[str, Query]:
         curation,
         curation2,
         curation3,
+        sketches3,
         graph,
         tpch3,
         tpch4,

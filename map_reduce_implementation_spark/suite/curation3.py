@@ -259,10 +259,206 @@ FROM (
 """
 
 
+# --- round-4 wave 2: corpus profiling ---
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+GQ_MIN_WORDS, GQ_MAX_WORDS = 20, 100_000
+GQ_MIN_MWL, GQ_MAX_MWL = 3.0, 10.0
+GQ_MAX_SYMBOL_RATIO = 0.1
+GQ_MIN_STOP_HITS = 2
+
+
+def q_gopher_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021 §A1.1) rule battery as a keep/drop
+    gate: word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, and >= {GQ_MIN_STOP_HITS} distinct stopwords present. Every
+    metric is an array expression over one tokenize — a ZERO-shuffle
+    pure map stage at any scale (the cheapest possible quality gate:
+    it reads each doc once and never moves it). Integer sums keep
+    mean_word_len exact before the one rounded division."""
+    from ..functions import tokens as _toks
+
+    d = table(spark, sf, "documents")
+    t = d.select("doc_id", F.col("text"), _toks(F.col("text")).alias("t"))
+    n_words = F.size("t")
+    char_sum = F.aggregate("t", F.lit(0), lambda acc, x: acc + F.length(x))
+    mwl = F.round(char_sum.cast("double") / n_words, 4)
+    symbols = F.size(F.regexp_extract_all("text", F.lit("[#…]"), 0))
+    sym_ratio = F.round(symbols.cast("double") / n_words, 6)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("t"), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    out = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= GQ_MIN_WORDS)
+        & (F.col("n_words") <= GQ_MAX_WORDS)
+        & (F.col("mean_word_len") >= GQ_MIN_MWL)
+        & (F.col("mean_word_len") <= GQ_MAX_MWL)
+        & (F.col("symbol_ratio") < GQ_MAX_SYMBOL_RATIO)
+        & (F.col("stop_hits") >= GQ_MIN_STOP_HITS),
+    )
+
+
+SQL_GOPHER_QUALITY_GATE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(t) AS INTEGER) AS n_words,
+    ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 4)
+      AS mean_word_len,
+    ROUND(CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE) / len(t), 6)
+      AS symbol_ratio,
+    CAST(len(list_intersect(list_distinct(t),
+        [{", ".join(repr(s) for s in STOPWORDS)}])) AS INTEGER) AS stop_hits
+  FROM t
+)
+SELECT *,
+  (n_words >= {GQ_MIN_WORDS} AND n_words <= {GQ_MAX_WORDS}
+   AND mean_word_len >= {GQ_MIN_MWL} AND mean_word_len <= {GQ_MAX_MWL}
+   AND symbol_ratio < {GQ_MAX_SYMBOL_RATIO}
+   AND stop_hits >= {GQ_MIN_STOP_HITS}) AS keep
+FROM m
+"""
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension profile of the embedding matrix (the sanity pass
+    a pipeline runs before trusting a new embedding export: dead dims,
+    scale drift, outliers): n, mean, min, max, variance per dimension.
+    Moments come from EXACT decimal sums (the nearest-centroid
+    recipe), so both engines divide identical numerators — hash-exact
+    without a tolerance. One posexplode + one (pos)-keyed agg: uniform
+    keys, map-side combinable, output rows = dimensionality."""
+    from ..operators.similarity import _as_double
+
+    e = table(spark, sf, "embeddings")
+    comp = e.select(F.posexplode(_as_double("embedding")).alias("pos", "x"))
+    return comp.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.round(
+            (
+                F.sum(
+                    F.col("x").cast("decimal(18,9)") * F.col("x").cast("decimal(18,9)")
+                ).cast("double")
+                - F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                * F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("variance"),
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH comp AS (
+  SELECT i - 1 AS pos, v[i] AS x FROM (
+    SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  ), range(1, 100000) r(i) WHERE i <= len(v)
+)
+SELECT CAST(pos AS INTEGER) AS pos, COUNT(*) AS n,
+  CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean,
+  MIN(x) AS min_x, MAX(x) AS max_x,
+  ROUND((CAST(SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+         - CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+           * CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))
+        / COUNT(*), 9) AS variance
+FROM comp GROUP BY pos
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tokenizer fertility report (the number that sizes
+    a multilingual token budget): docs, token count, type-token ratio,
+    chars-per-token, tokens-per-doc and source-bytes-per-token. Two
+    independent aggregates — a doc-level one for n_docs/byte totals
+    and a token-level one for counts/vocab — joined on the ~constant
+    lang key; integer numerators keep every ratio exact before its
+    one rounded division. The token stream shuffles once on
+    (lang, term) for the distinct, then collapses to lang."""
+    from ..functions import tokens as _toks
+
+    d = table(spark, sf, "documents")
+    docs = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars_total")
+    )
+    tok = d.select(
+        "lang", F.explode(_toks(F.col("text"))).alias("term")
+    )
+    toks = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_types"),
+        F.sum(F.length("term")).alias("token_chars"),
+    )
+    return docs.join(toks, "lang").select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("token_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 6).alias(
+            "tokens_per_doc"
+        ),
+        F.round(F.col("chars_total").cast("double") / F.col("n_tokens"), 6).alias(
+            "bytes_per_token"
+        ),
+    )
+
+
+SQL_TOKENIZER_FERTILITY = """
+WITH docs AS (
+  SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars_total
+  FROM documents GROUP BY lang
+),
+tok AS (
+  SELECT lang,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+  FROM documents
+),
+toks AS (
+  SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT term) AS n_types,
+    SUM(len(term)) AS token_chars
+  FROM tok GROUP BY lang
+)
+SELECT d.lang, d.n_docs, t.n_tokens, t.n_types,
+  ROUND(CAST(t.n_types AS DOUBLE) / t.n_tokens, 6) AS ttr,
+  ROUND(CAST(t.token_chars AS DOUBLE) / t.n_tokens, 6) AS chars_per_token,
+  ROUND(CAST(t.n_tokens AS DOUBLE) / d.n_docs, 6) AS tokens_per_doc,
+  ROUND(CAST(d.chars_total AS DOUBLE) / t.n_tokens, 6) AS bytes_per_token
+FROM docs d JOIN toks t USING (lang)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "domain_temperature_resample": Query(
         q_domain_temperature_resample, SQL_DOMAIN_TEMPERATURE_RESAMPLE
     ),
+    "gopher_quality_gate": Query(q_gopher_quality_gate, SQL_GOPHER_QUALITY_GATE),
+    "embedding_dim_stats": Query(q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
+    "tokenizer_fertility": Query(q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     "nearest_centroid_confusion": Query(
         q_nearest_centroid_confusion, SQL_NEAREST_CENTROID_CONFUSION
     ),
