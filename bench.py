@@ -99,10 +99,11 @@ HEADLINE = [
     "dedup_semantic_graded",
     "nearest_centroid_confusion",
     "min_cost_supplier",
-    # round-4 wave 2: graded winnowing + corpus profiling
+    # round-4 wave 2: graded winnowing + corpus profiling + GD probe
     "text_winnow_graded",
     "gopher_quality_gate",
     "tokenizer_fertility",
+    "embedding_linear_probe",
 ]
 
 

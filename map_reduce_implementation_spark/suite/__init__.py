@@ -18,6 +18,7 @@ from . import (
     graph,
     joins2,
     maps,
+    mlprobe,
     multimodal,
     parity,
     pipeline2,
@@ -180,6 +181,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "gopher_quality_gate",
     "embedding_dim_stats",
     "tokenizer_fertility",
+    "embedding_linear_probe",
+    "embedding_pca_power",
 )
 
 
@@ -238,6 +241,7 @@ def all_queries() -> dict[str, Query]:
         stats,
         scalars2,
         maps,
+        mlprobe,
         events,
         text,
         dedup,
