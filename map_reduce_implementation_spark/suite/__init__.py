@@ -183,6 +183,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tokenizer_fertility",
     "embedding_linear_probe",
     "embedding_pca_power",
+    "graph_triangle_count",
+    "bloom_decontaminate",
+    "events_path_topk",
 )
 
 

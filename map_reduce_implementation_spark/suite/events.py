@@ -730,6 +730,55 @@ FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
 """
 
 
+
+
+PATH_LEN = 3
+PATH_TOPK = 10
+
+
+def q_path_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{PATH_TOPK} most frequent {PATH_LEN}-step event paths (the
+    sequence-mining upgrade of the first-order transition matrix:
+    which full journeys dominate, not just which hops). One user-keyed
+    window builds the sliding path with LEADs — paths never become a
+    self-join — then counting runs on the path-string key space
+    (|types|^{PATH_LEN} max) and the top-k is a
+    TakeOrderedAndProject, never a global sort. Deterministic order:
+    (ts, event_id) tie-break, count-then-path final order."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("t0"),
+        *[
+            F.lead("event_type", i).over(w).alias(f"t{i}")
+            for i in range(1, PATH_LEN)
+        ],
+    ).filter(F.col(f"t{PATH_LEN - 1}").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", *[f"t{i}" for i in range(PATH_LEN)]).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+SQL_PATH_TOPK = f"""
+WITH seq AS (
+  SELECT event_type AS t0,
+    {", ".join(f"LEAD(event_type, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t{i}" for i in range(1, PATH_LEN))}
+  FROM events
+)
+SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+FROM seq WHERE t{PATH_LEN - 1} IS NOT NULL
+GROUP BY path ORDER BY n DESC, path LIMIT {PATH_TOPK}
+"""
+
 QUERIES: dict[str, Query] = {
     "events_funnel": Query(q_funnel, SQL_FUNNEL),
     "events_scd2_intervals": Query(q_scd2_intervals, SQL_SCD2_INTERVALS),
@@ -749,4 +798,5 @@ QUERIES: dict[str, Query] = {
     "events_json_extract": Query(q_json_extract, SQL_JSON_EXTRACT),
     "events_variant_extract": Query(q_variant_extract, SQL_VARIANT_EXTRACT),
     "events_type_stats": Query(q_event_type_stats, SQL_EVENT_TYPE_STATS),
+    "events_path_topk": Query(q_path_topk, SQL_PATH_TOPK),
 }

@@ -371,8 +371,127 @@ ORDER BY rrf DESC, doc_id LIMIT 20
 """
 
 
+BLOOM_M = 8192  # bits
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_bucket(i: int, term) -> F.Column:
+    """Hash-``i`` bit position: md5 => engine-independent (CMS trick)."""
+    h = F.md5(F.concat(F.lit(f"b{i}|"), term))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_M
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination probe — the sketch the exact
+    ``decontaminate`` broadcast set gets replaced with when the eval
+    suite grows past broadcast size: a {BLOOM_M}-bit, {BLOOM_K}-hash
+    Bloom over the eval docs' (doc_id % 10 == 0) term set, probed by
+    every training doc. A term is flagged iff ALL {BLOOM_K} bits hit
+    (no false negatives; false positives possible). Output per
+    training doc: term count, Bloom-flagged count, EXACT overlap count
+    (so the artifact shows the one-sided error: flagged >= exact,
+    asserted in tests), and the flag rate.
+
+    100 TB shape: the Bloom IS a DataFrame of set bit positions
+    (<= {BLOOM_M} rows regardless of eval size — strictly mergeable by
+    union/distinct) broadcast into the probe join; the training stream
+    shuffles once for its own per-doc term distinct. md5-derived
+    positions make the whole sketch DuckDB-reproducible."""
+    d = table(spark, sf, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
+    )
+    ev_terms = dt.filter(F.col("doc_id") % 10 == 0).select("term").distinct()
+    bits = (
+        ev_terms.select(
+            F.explode(
+                F.array(*[_bloom_bucket(i, F.col("term")) for i in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    train = dt.filter(F.col("doc_id") % 10 != 0)
+    probes = train.select(
+        "doc_id",
+        "term",
+        F.explode(
+            F.array(*[_bloom_bucket(i, F.col("term")) for i in range(BLOOM_K)])
+        ).alias("bit"),
+    )
+    term_hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == BLOOM_K)
+    )
+    exact_hits = train.join(F.broadcast(ev_terms), "term")
+    per_doc = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    flagged = term_hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bloom_flagged")
+    )
+    exact = exact_hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        per_doc.join(flagged, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_terms",
+            F.coalesce("n_bloom_flagged", F.lit(0)).alias("n_bloom_flagged"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.round(
+                F.coalesce("n_bloom_flagged", F.lit(0)).cast("double")
+                / F.col("n_terms"),
+                6,
+            ).alias("flag_rate"),
+        )
+    )
+
+
+def _sql_bloom_bucket(i: int, term: str) -> str:
+    return f"('0x' || substr(md5('b{i}|' || {term}), 1, 8))::BIGINT % {BLOOM_M}"
+
+
+SQL_BLOOM_DECONTAMINATE = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+  FROM documents
+),
+ev AS (SELECT DISTINCT term FROM dt WHERE doc_id % 10 = 0),
+bits AS (
+  SELECT DISTINCT {_sql_bloom_bucket(0, 'term')} AS bit FROM ev
+  {" ".join(f"UNION SELECT DISTINCT {_sql_bloom_bucket(i, 'term')} FROM ev" for i in range(1, BLOOM_K))}
+),
+train AS (SELECT doc_id, term FROM dt WHERE doc_id % 10 <> 0),
+probes AS (
+  SELECT doc_id, term,
+    unnest([{", ".join(_sql_bloom_bucket(i, "term") for i in range(BLOOM_K))}]) AS bit
+  FROM train
+),
+term_hits AS (
+  SELECT doc_id, term FROM probes JOIN bits USING (bit)
+  GROUP BY doc_id, term HAVING COUNT(*) = {BLOOM_K}
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_terms FROM train GROUP BY doc_id),
+flagged AS (SELECT doc_id, COUNT(*) AS n_bloom_flagged FROM term_hits GROUP BY doc_id),
+exact AS (
+  SELECT t.doc_id, COUNT(*) AS n_exact FROM train t JOIN ev USING (term)
+  GROUP BY t.doc_id
+)
+SELECT p.doc_id, p.n_terms,
+  COALESCE(f.n_bloom_flagged, 0) AS n_bloom_flagged,
+  COALESCE(e.n_exact, 0) AS n_exact,
+  ROUND(CAST(COALESCE(f.n_bloom_flagged, 0) AS DOUBLE) / p.n_terms, 6) AS flag_rate
+FROM per_doc p
+LEFT JOIN flagged f ON p.doc_id = f.doc_id
+LEFT JOIN exact e ON p.doc_id = e.doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "chunk_documents": Query(q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "bloom_decontaminate": Query(q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE),
     "cms_heavy_hitters": Query(q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "upsert_snapshot": Query(q_upsert_snapshot, SQL_UPSERT_SNAPSHOT),
     "text_bm25_topk": Query(q_bm25_topk, SQL_BM25_TOPK),
