@@ -149,9 +149,14 @@ def _run_noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-# two flagship dedup paths: the exact capped/posting-list shape and the
-# sketch (MinHash+LSH) shape — both claimed linear-ish at 100 TB
-SCALE_QUERIES = ["dedup_ngram_jaccard_capped", "dedup_minhash_lsh"]
+# three flagship dedup/fingerprint paths: the exact capped/posting-list
+# shape, the sketch (MinHash+LSH) shape, and the per-doc winnowing
+# fingerprint (claimed embarrassingly parallel => linear)
+SCALE_QUERIES = [
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "text_winnow_graded",
+]
 # the capped arm additionally gets a 100× point: the 100 TB claim rests
 # on the slope staying flat for ANOTHER decade of scale, not just one
 SCALE_X100_QUERY = "dedup_ngram_jaccard_capped"

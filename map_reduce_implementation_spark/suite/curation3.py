@@ -338,32 +338,34 @@ def q_embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-dimension profile of the embedding matrix (the sanity pass
     a pipeline runs before trusting a new embedding export: dead dims,
     scale drift, outliers): n, mean, min, max, variance per dimension.
-    Moments come from EXACT decimal sums (the nearest-centroid
-    recipe), so both engines divide identical numerators — hash-exact
-    without a tolerance. One posexplode + one (pos)-keyed agg: uniform
-    keys, map-side combinable, output rows = dimensionality."""
+
+    Moments use a PURE-IEEE 1e-7 quantizer: q = floor(x·1e7 + 0.5) is
+    the same double multiply/add/floor in every engine — including the
+    tie cases where double→DECIMAL casts diverge (Spark's exact
+    BigDecimal HALF_UP vs DuckDB's float path disagreed in the last
+    ulp on exactly one of 32k cells here; floor() has no modes) — and
+    the integer sums that follow are exact and order-independent. One
+    posexplode + one (pos)-keyed agg: uniform keys, map-side
+    combinable, output rows = dimensionality."""
     from ..operators.similarity import _as_double
 
     e = table(spark, sf, "embeddings")
     comp = e.select(F.posexplode(_as_double("embedding")).alias("pos", "x"))
+    q = F.floor(F.col("x") * F.lit(1e7) + F.lit(0.5))
+    comp = comp.select("pos", "x", q.alias("q"))
+    s_d = F.sum("q").cast("double")
+    ssq_d = F.sum(
+        F.col("q").cast("decimal(18,0)") * F.col("q").cast("decimal(18,0)")
+    ).cast("double")
+    n_c = F.count(F.lit(1))
     return comp.groupBy("pos").agg(
-        F.count(F.lit(1)).alias("n"),
-        (
-            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean"),
+        n_c.alias("n"),
+        (s_d / F.lit(1e7) / n_c).alias("mean"),
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),
         F.round(
-            (
-                F.sum(
-                    F.col("x").cast("decimal(18,9)") * F.col("x").cast("decimal(18,9)")
-                ).cast("double")
-                - F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                * F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1))
-            )
-            / F.count(F.lit(1)),
+            (ssq_d / F.lit(1e14) - s_d / F.lit(1e7) * (s_d / F.lit(1e7)) / n_c)
+            / n_c,
             9,
         ).alias("variance"),
     )
@@ -371,16 +373,17 @@ def q_embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_EMBEDDING_DIM_STATS = """
 WITH comp AS (
-  SELECT i - 1 AS pos, v[i] AS x FROM (
+  SELECT i - 1 AS pos, v[i] AS x,
+    CAST(floor(v[i] * 1e7 + 0.5) AS BIGINT) AS q
+  FROM (
     SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   ), range(1, 100000) r(i) WHERE i <= len(v)
 )
 SELECT CAST(pos AS INTEGER) AS pos, COUNT(*) AS n,
-  CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean,
+  CAST(SUM(q) AS DOUBLE) / 1e7 / COUNT(*) AS mean,
   MIN(x) AS min_x, MAX(x) AS max_x,
-  ROUND((CAST(SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS DOUBLE)
-         - CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
-           * CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))
+  ROUND((CAST(SUM(CAST(q AS DECIMAL(18,0)) * CAST(q AS DECIMAL(18,0))) AS DOUBLE) / 1e14
+         - CAST(SUM(q) AS DOUBLE) / 1e7 * (CAST(SUM(q) AS DOUBLE) / 1e7) / COUNT(*))
         / COUNT(*), 9) AS variance
 FROM comp GROUP BY pos
 """

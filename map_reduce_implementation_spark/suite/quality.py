@@ -126,7 +126,7 @@ def _sql_dataset_profile() -> str:
     for c in PROFILE_COLS:
         sels.append(
             f"""SELECT '{c}' AS column,
-  SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_count,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
   COUNT(DISTINCT {c}) AS n_distinct,
   ROUND(MIN(CAST({c} AS DOUBLE)), 6) AS min_value,
   ROUND(MAX(CAST({c} AS DOUBLE)), 6) AS max_value

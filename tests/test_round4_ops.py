@@ -1,0 +1,133 @@
+"""Semantic invariants for the round-4 wave-2 operators — properties
+the oracle equality check can't express (it proves Spark == DuckDB,
+not that both compute the RIGHT thing)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from map_reduce_implementation_spark.suite import all_queries
+
+from .conftest import SF0001
+
+QS = all_queries()
+
+
+def test_bloom_flagged_is_superset_of_exact(spark):
+    """Bloom filters have no false negatives: every exact overlap term
+    must also be Bloom-flagged (flagged >= exact, per doc)."""
+    rows = QS["bloom_decontaminate"].build(spark, SF0001).collect()
+    assert rows, "no training docs"
+    for r in rows:
+        assert r["n_bloom_flagged"] >= r["n_exact"], r
+        assert 0 <= r["n_exact"] <= r["n_terms"], r
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented wedge join == brute-force triangle enumeration
+    on the (small) sf0.001 co-occurrence graph."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_implementation_spark.sources import table
+
+    li = (
+        table(spark, SF0001, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order: dict[int, set[int]] = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected: dict[int, int] = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c: count each triangle once
+                for n in (a, b, c):
+                    expected[n] = expected.get(n, 0) + 1
+    got = {
+        r["node_id"]: r["n_triangles"]
+        for r in QS["graph_triangle_count"].build(spark, SF0001).collect()
+    }
+    assert got == expected
+
+
+def test_linear_probe_output_sane(spark):
+    """Probe returns one weight per dimension, finite values, and a
+    single accuracy in [0, 1] (0.5 = chance for the balanced target)."""
+    rows = QS["embedding_linear_probe"].build(spark, SF0001).collect()
+    assert len(rows) == 64
+    accs = {r["train_accuracy"] for r in rows}
+    assert len(accs) == 1
+    assert 0.0 <= accs.pop() <= 1.0
+    assert all(abs(r["weight"]) < 1e3 for r in rows)
+
+
+def test_pca_power_is_unit_vector(spark):
+    """The returned component has unit L2 norm (it was normalized by
+    the final iteration) and a positive eigenvalue estimate."""
+    rows = QS["embedding_pca_power"].build(spark, SF0001).collect()
+    assert len(rows) == 64
+    norm2 = sum(r["pc1"] ** 2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-6
+    eigs = {r["eigenvalue"] for r in rows}
+    assert len(eigs) == 1 and eigs.pop() > 0
+
+
+def test_winnow_covers_every_long_doc(spark):
+    """Winnowing selects >= 1 fingerprint for every doc with at least
+    k + w - 1 tokens (the first full window exists)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_implementation_spark.functions import tokens
+    from map_reduce_implementation_spark.sources import table
+    from map_reduce_implementation_spark.suite.sketches3 import WN_K, WN_W
+
+    d = table(spark, SF0001, "documents")
+    long_docs = {
+        r["doc_id"]
+        for r in d.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n")
+        ).collect()
+        if r["n"] >= WN_K + WN_W - 1
+    }
+    fp_docs = {
+        r["doc_id"]
+        for r in QS["text_winnow_graded"]
+        .build(spark, SF0001)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert long_docs <= fp_docs
+
+
+def test_minhash_graded_pairs_have_high_jaccard_bands(spark):
+    """Every candidate pair collides on 1..4 bands, doc_a < doc_b, and
+    no pair is duplicated."""
+    rows = QS["dedup_minhash_graded"].build(spark, SF0001).collect()
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 1 <= r["n_bands"] <= 4
+        key = (r["doc_a"], r["doc_b"])
+        assert key not in seen
+        seen.add(key)
+
+
+def test_simhash_graded_hamming_bound(spark):
+    """Every reported pair is within the hamming threshold and ordered."""
+    from map_reduce_implementation_spark.suite.sketches3 import SH_MAX_HAMMING
+
+    rows = QS["dedup_simhash_graded"].build(spark, SF0001).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= SH_MAX_HAMMING
