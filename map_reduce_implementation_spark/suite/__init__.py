@@ -26,6 +26,7 @@ from . import (
     relational,
     scalars2,
     similarity,
+    sinks,
     sketches3,
     stats,
     text,
@@ -186,6 +187,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "bloom_decontaminate",
     "events_path_topk",
+    "sink_roundtrip",
+    "text_lang_confusion",
 )
 
 
@@ -251,6 +254,7 @@ def all_queries() -> dict[str, Query]:
         similarity,
         multimodal,
         udfs,
+        sinks,
         tpch2,
         pipeline2,
         quality,

@@ -447,6 +447,45 @@ GROUP BY p.doc_id
 """
 
 
+
+
+def q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier-eval closing of the lang-ID loop: confusion matrix of
+    the stopword heuristic's prediction against the labeled ``lang``
+    column, with per-true-language recall. The matrix aggregation runs
+    on the |langs|x|langs| cell space, so the recall window is free at
+    any scale; the only data-sized work is the one classify pass."""
+    from pyspark.sql import Window
+
+    pred = q_lang_id(spark, sf).select("doc_id", "predicted_lang")
+    d = table(spark, sf, "documents").select("doc_id", "lang")
+    cells = (
+        d.join(pred, "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"), "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share_of_true"),
+    )
+
+
+SQL_LANG_CONFUSION = f"""
+WITH pred AS ({SQL_LANG_ID}),
+cells AS (
+  SELECT d.lang AS true_lang, p.predicted_lang, COUNT(*) AS n
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY d.lang, p.predicted_lang
+)
+SELECT true_lang, predicted_lang, n,
+  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY true_lang), 6)
+    AS share_of_true
+FROM cells
+"""
+
 QUERIES: dict[str, Query] = {
     "text_unigram_logprob": Query(q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "text_bigram_logprob": Query(q_bigram_logprob, SQL_BIGRAM_LOGPROB),
@@ -457,5 +496,6 @@ QUERIES: dict[str, Query] = {
     "text_token_count": Query(q_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": Query(q_quality_score, SQL_QUALITY_SCORE),
     "text_lang_id": Query(q_lang_id, SQL_LANG_ID),
+    "text_lang_confusion": Query(q_lang_confusion, SQL_LANG_CONFUSION),
     "text_fingerprint": Query(q_fingerprint, SQL_FINGERPRINT),
 }
