@@ -189,6 +189,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_path_topk",
     "sink_roundtrip",
     "text_lang_confusion",
+    "events_watermark_audit",
 )
 
 

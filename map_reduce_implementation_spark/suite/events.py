@@ -779,6 +779,66 @@ FROM seq WHERE t{PATH_LEN - 1} IS NOT NULL
 GROUP BY path ORDER BY n DESC, path LIMIT {PATH_TOPK}
 """
 
+
+
+def q_watermark_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-orderness audit — the measurement that SIZES a streaming
+    watermark instead of guessing it: treating event_id as ingestion
+    order, an event's lateness is how far the per-user running-max
+    event time had already advanced past it when it arrived. Reports
+    per event type the in-order fraction and the exact p50/p95/p99/max
+    lateness in seconds; ``withWatermark`` set at the p99 keeps state
+    bounded while dropping <1% of late rows. One user-partitioned
+    running-max window (scales with the user key), then all percentile
+    work happens on the |types|-sized aggregate."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("lateness_s"),
+    )
+    qs_arr = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.when(F.col("lateness_s") == 0, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("in_order_frac"),
+        F.percentile("lateness_s", qs_arr)[0].alias("p50_lateness_s"),
+        F.percentile("lateness_s", qs_arr)[1].alias("p95_lateness_s"),
+        F.percentile("lateness_s", qs_arr)[2].alias("p99_lateness_s"),
+        F.max("lateness_s").alias("max_lateness_s"),
+    )
+
+
+SQL_WATERMARK_AUDIT = """
+WITH late AS (
+  SELECT event_type,
+    date_diff('second', ts,
+      MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      AS lateness_s
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CASE WHEN lateness_s = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS in_order_frac,
+  quantile_cont(lateness_s, 0.5) AS p50_lateness_s,
+  quantile_cont(lateness_s, 0.95) AS p95_lateness_s,
+  quantile_cont(lateness_s, 0.99) AS p99_lateness_s,
+  MAX(lateness_s) AS max_lateness_s
+FROM late GROUP BY event_type
+"""
+
 QUERIES: dict[str, Query] = {
     "events_funnel": Query(q_funnel, SQL_FUNNEL),
     "events_scd2_intervals": Query(q_scd2_intervals, SQL_SCD2_INTERVALS),
@@ -799,4 +859,5 @@ QUERIES: dict[str, Query] = {
     "events_variant_extract": Query(q_variant_extract, SQL_VARIANT_EXTRACT),
     "events_type_stats": Query(q_event_type_stats, SQL_EVENT_TYPE_STATS),
     "events_path_topk": Query(q_path_topk, SQL_PATH_TOPK),
+    "events_watermark_audit": Query(q_watermark_audit, SQL_WATERMARK_AUDIT),
 }
