@@ -8,6 +8,8 @@ watermark state. Batch execution here gives the DuckDB oracle a target.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -756,7 +758,16 @@ def q_path_topk(spark: SparkSession, sf: str) -> DataFrame:
             F.lead("event_type", i).over(w).alias(f"t{i}")
             for i in range(1, PATH_LEN)
         ],
-    ).filter(F.col(f"t{PATH_LEN - 1}").isNotNull())
+    ).filter(
+        # EVERY step non-null: concat_ws would silently SKIP a null
+        # mid-sequence (yielding a shorter path) while the oracle's ||
+        # nulls the whole path — guard all steps so both engines agree
+        # even if event_type ever becomes nullable
+        reduce(
+            lambda a, b: a & b,
+            [F.col(f"t{i}").isNotNull() for i in range(PATH_LEN)],
+        )
+    )
     paths = seq.select(
         F.concat_ws(">", *[f"t{i}" for i in range(PATH_LEN)]).alias("path")
     )
@@ -774,8 +785,10 @@ WITH seq AS (
     {", ".join(f"LEAD(event_type, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t{i}" for i in range(1, PATH_LEN))}
   FROM events
 )
-SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
-FROM seq WHERE t{PATH_LEN - 1} IS NOT NULL
+SELECT {" || '>' || ".join(f"t{i}" for i in range(PATH_LEN))} AS path,
+  COUNT(*) AS n
+FROM seq
+WHERE {" AND ".join(f"t{i} IS NOT NULL" for i in range(PATH_LEN))}
 GROUP BY path ORDER BY n DESC, path LIMIT {PATH_TOPK}
 """
 

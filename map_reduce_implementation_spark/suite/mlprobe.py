@@ -17,9 +17,13 @@ step further into real training math):
   s(z) = 0.5 + z / (2·(1+|z|)) — same shape, same [0,1] range, same
   0.5-at-0 — computable with only +,*,/,abs, which are IEEE-exact and
   identical in every engine. No exp(), so no libm last-ulp risk.
-- Every cross-row sum is an EXACT decimal sum of 9dp-rounded
-  operands: round(x,9)·round(m,9) as DECIMAL(18,9)·DECIMAL(18,9) is
-  exact in DECIMAL(37,18), and the sum is order-independent.
+- Every cross-row sum is an EXACT decimal sum of quantized operands.
+  RAW float32 cells quantize with the modeless floor(x·1e7 + 0.5)
+  (dyadic float32 values can land exactly on decimal-cast/ROUND ties
+  where engines' rounding paths disagree by 1 ulp — verified on this
+  table); GENERIC full-mantissa doubles (margins, centered values,
+  projections) use ROUND(·,9). Decimal products are exact and the
+  sums order-independent either way.
 - Every within-row reduction (dot products, norms) is a SEQUENTIAL
   left fold over a position-ordered list — Spark ``F.aggregate`` ==
   DuckDB ``list_sum`` (proven bit-equal by the SemDeDup-graded arm).
@@ -40,22 +44,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import _as_double
+from ..operators.similarity import _as_double, dot as _fold_dot
 from ..sources import table
 from .base import Query
 
 DIM = 64
 LR = 0.5
 ITERS = 3
-
-
-def _fold_dot(vec_col, wl_col) -> F.Column:
-    """Sequential left-fold dot product (== DuckDB list_sum order)."""
-    return F.aggregate(
-        F.zip_with(vec_col, wl_col, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def _alg_sigmoid(z: F.Column) -> F.Column:
@@ -100,10 +95,19 @@ def q_embedding_linear_probe(spark: SparkSession, sf: str) -> DataFrame:
             F.col("m").cast("decimal(18,9)").alias("m9"),
             F.posexplode("v").alias("pos", "x"),
         )
+        # raw float32 cells quantize via modeless floor(x*1e7+0.5) — a
+        # ROUND(x,9) here would hit the same decimal-cast tie class the
+        # PCA mean fix documents (dyadic float32 values); the margins m
+        # are generic full-mantissa doubles, safe to ROUND
         g = contrib.groupBy("pos").agg(
-            F.sum(F.round(F.col("x"), 9).cast("decimal(18,9)") * F.col("m9"))
-            .cast("double")
-            .alias("s")
+            (
+                F.sum(
+                    F.floor(F.col("x") * F.lit(1e7) + F.lit(0.5))
+                    .cast("decimal(18,0)")
+                    * F.col("m9")
+                ).cast("double")
+                / F.lit(1e7)
+            ).alias("s")
         )
         if w_df is None:
             w_df = g.select("pos", (-F.lit(LR) * F.col("s") / F.lit(n)).alias("w"))
@@ -147,8 +151,9 @@ def _probe_oracle() -> str:
         " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM e)",
         "m0 AS (SELECT y, v, ROUND(0.5 - y, 9) AS m FROM e)",
-        f"g0 AS (SELECT i-1 AS pos, CAST(SUM(CAST(ROUND(v[i],9) AS DECIMAL(18,9))"
-        f" * CAST(m AS DECIMAL(18,9))) AS DOUBLE) AS s"
+        f"g0 AS (SELECT i-1 AS pos,"
+        f" CAST(SUM(CAST(floor(v[i]*1e7+0.5) AS DECIMAL(18,0))"
+        f" * CAST(m AS DECIMAL(18,9))) AS DOUBLE) / 1e7 AS s"
         f" FROM m0, range(1,{DIM + 1}) r(i) GROUP BY i-1)",
         f"w1 AS (SELECT pos, 0.0 - {LR} * s / n.c AS w FROM g0, n)",
     ]
@@ -158,8 +163,9 @@ def _probe_oracle() -> str:
             f"m{k} AS (SELECT y, v,"
             f" ROUND(0.5 + z/(2*(1+abs(z))) - y, 9) AS m FROM ("
             f"SELECT y, v, {dot} AS z FROM e, wl{k}))",
-            f"g{k} AS (SELECT i-1 AS pos, CAST(SUM(CAST(ROUND(v[i],9) AS DECIMAL(18,9))"
-            f" * CAST(m AS DECIMAL(18,9))) AS DOUBLE) AS s"
+            f"g{k} AS (SELECT i-1 AS pos,"
+            f" CAST(SUM(CAST(floor(v[i]*1e7+0.5) AS DECIMAL(18,0))"
+            f" * CAST(m AS DECIMAL(18,9))) AS DOUBLE) / 1e7 AS s"
             f" FROM m{k}, range(1,{DIM + 1}) r(i) GROUP BY i-1)",
             f"w{k + 1} AS (SELECT g.pos, w.w - {LR} * g.s / n.c AS w"
             f" FROM g{k} g JOIN w{k} w USING (pos), n)",
@@ -194,12 +200,19 @@ def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "embeddings").select(_as_double("embedding").alias("v"))
     n = float(e.count())
 
+    # mean via the PURE-IEEE 1e-7 quantizer (embedding_dim_stats
+    # recipe): raw float32 cells are dyadic and can land exactly on a
+    # decimal-cast tie, where Spark's BigDecimal HALF_UP and DuckDB's
+    # float path disagree by 1 ulp (verified on this table: 1 cell at
+    # sf0.01, 5 at sf0.1). floor(x*1e7+0.5) has no rounding modes.
     comp = e.select(F.posexplode("v").alias("pos", "x"))
     mu_row = (
         comp.groupBy("pos")
         .agg(
             (
-                F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.lit(n)
+                F.sum(F.floor(F.col("x") * F.lit(1e7) + F.lit(0.5))).cast("double")
+                / F.lit(1e7)
+                / F.lit(n)
             ).alias("m")
         )
         .agg(
@@ -269,8 +282,9 @@ def _pca_oracle() -> str:
     ctes = [
         "e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM e)",
-        f"mu0 AS (SELECT i-1 AS pos, CAST(SUM(CAST(v[i] AS DECIMAL(28,12)))"
-        f" AS DOUBLE) / n.cnt AS m FROM e, n, range(1,{DIM + 1}) r(i)"
+        f"mu0 AS (SELECT i-1 AS pos,"
+        f" CAST(SUM(CAST(floor(v[i] * 1e7 + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / 1e7 / n.cnt AS m FROM e, n, range(1,{DIM + 1}) r(i)"
         f" GROUP BY i-1, n.cnt)",
         "mu AS (SELECT list(m ORDER BY pos) AS mu FROM mu0)",
         f"v0 AS (SELECT list_transform(range(1,{DIM + 1}), i -> {v0}) AS vl)",

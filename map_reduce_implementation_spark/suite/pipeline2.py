@@ -70,12 +70,19 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
+def _md5_bucket(prefix: str, term, width: int) -> F.Column:
+    """Engine-reproducible hash bucket: md5 is computed identically by
+    Spark and DuckDB (unlike murmur3/xxhash), so any sketch layout
+    built on it is oracle-checkable. ONE recipe — prefix || term,
+    first 8 hex digits, mod width — shared by the CMS and Bloom arms
+    so the Spark and SQL sides can't drift independently."""
+    h = F.md5(F.concat(F.lit(prefix), term))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
 def _cms_bucket(depth: int, term) -> F.Column:
-    """Row-``depth`` count-min bucket: md5 is computed identically by
-    Spark and DuckDB, so the sketch layout (unlike murmur3-based
-    hashing) is engine-independent and oracle-checkable."""
-    h = F.md5(F.concat(F.lit(str(depth)), F.lit("|"), term))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH
+    """Row-``depth`` count-min bucket (shared md5 recipe)."""
+    return _md5_bucket(f"{depth}|", term, CMS_WIDTH)
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
@@ -376,9 +383,8 @@ BLOOM_K = 4  # hash functions
 
 
 def _bloom_bucket(i: int, term) -> F.Column:
-    """Hash-``i`` bit position: md5 => engine-independent (CMS trick)."""
-    h = F.md5(F.concat(F.lit(f"b{i}|"), term))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_M
+    """Hash-``i`` bit position (shared md5 recipe, Bloom prefix/width)."""
+    return _md5_bucket(f"b{i}|", term, BLOOM_M)
 
 
 def q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:

@@ -33,11 +33,11 @@ from .base import Query
 
 
 def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_sink",
-        os.path.basename(sf.rstrip("/")) or "sf",
-    )
+    # a FRESH directory per build: a fixed path keyed by sf basename
+    # would race under concurrent builds (bench + tests, or two data
+    # roots sharing a basename) — overwrite deletes the part file a
+    # previously-built lazy DataFrame still points at
+    out = tempfile.mkdtemp(prefix="spark_graft_sink_")
     snap = table(spark, sf, "documents").select(
         "doc_id", "lang", F.md5("text").alias("text_md5")
     )

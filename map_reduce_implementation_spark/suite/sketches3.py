@@ -148,7 +148,7 @@ GROUP BY a.doc_id, b.doc_id
 SH_BITS = 32
 SH_BANDS = 4
 SH_BAND_BITS = SH_BITS // SH_BANDS
-SH_MAX_HAMMING = 6
+SH_MAX_HAMMING = 3  # = SH_BANDS - 1, the bound for which banding is exhaustive
 
 
 def q_dedup_simhash_graded(spark: SparkSession, sf: str) -> DataFrame:
@@ -156,11 +156,14 @@ def q_dedup_simhash_graded(spark: SparkSession, sf: str) -> DataFrame:
     gets a 32-bit md5-derived hash; each signature bit is the sign of
     the term-frequency-weighted vote over that bit (+tf if set, -tf if
     clear; vote<=0 -> 0, matching the production numpy arm's strict
-    sign rule). Candidate pairs collide on one of 4 byte-bands
-    (pigeonhole: hamming <= 3 guarantees a shared band) and are kept
-    when bit_count(xor) <= {SH_MAX_HAMMING}. Same banded-pigeonhole
-    shape as ``operators/dedup.py::simhash_pairs``; md5 bit votes make
-    signature, bands, xor distance and the pair set DuckDB-exact.
+    sign rule). Candidate pairs collide on one of 4 byte-bands and are
+    kept when bit_count(xor) <= {SH_MAX_HAMMING}. The threshold equals
+    bands-1, the pigeonhole guarantee: any pair within it MUST share a
+    band, so banding is exhaustive (a larger threshold would silently
+    drop qualifying pairs whose differing bits spread across all
+    bands). Same sound predicate as the production
+    ``operators/dedup.py`` arm; md5 bit votes make signature, bands,
+    xor distance and the pair set DuckDB-exact.
 
     Scale: the vote stream is (doc, term, tf) x 32 — a uniform fan-out
     aggregated map-side on (doc, bit); pairs never leave band buckets."""
