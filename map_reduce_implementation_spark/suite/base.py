@@ -12,6 +12,15 @@ Conventions that make Spark results hash-match the DuckDB oracle
   vs DuckDB's scan order; a raw double SUM is not.
 - **floor/ceil results are cast to DOUBLE** (Spark returns LONG, DuckDB
   DOUBLE).
+- **Raw float32 columns (embeddings) never go straight into a decimal
+  cast or ROUND**: float32 values are dyadic rationals that can land
+  EXACTLY on a decimal rounding boundary, where Spark's exact
+  BigDecimal HALF_UP and DuckDB's float-multiply path disagree by one
+  ulp (observed on the embeddings table). Quantize with the modeless
+  ``floor(x * 1e7 + 0.5)`` — pure IEEE multiply/add/floor, identical
+  in every engine — then sum the exact integers (or their DECIMAL
+  products). Derived full-mantissa doubles (ratios, dot products,
+  margins) have no tie exposure and may use ROUND(·, k).
 - Top-k queries always carry a unique tie-break key in the ORDER BY.
 """
 
