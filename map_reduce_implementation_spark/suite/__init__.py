@@ -190,6 +190,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sink_roundtrip",
     "text_lang_confusion",
     "events_watermark_audit",
+    "events_active_users",
 )
 
 

@@ -852,6 +852,56 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM late GROUP BY event_type
 """
 
+
+
+def q_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / WAU / MAU — rolling DISTINCT-user counts per day, the one
+    aggregation shape the suite lacked: a sliding window over a
+    distinct set (unlike sums, distinct counts cannot be composed from
+    daily partials, so the trailing windows re-count from the deduped
+    (day, user) pairs). Shape: one distinct shuffle collapses the raw
+    stream to day x user pairs (the data-sized step), then a BROADCAST
+    spine of ~30 day rows fans each pair to at most 30 trailing
+    windows and a day-keyed conditional COUNT DISTINCT finishes —
+    cost scales with active users, never with raw events."""
+    ev = table(spark, sf, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    spine = daily.select("d").distinct()
+    j = F.broadcast(spine.alias("s")).join(
+        daily.alias("u"),
+        (F.col("u.d") <= F.col("s.d"))
+        & (F.col("u.d") >= F.col("s.d") - F.expr("INTERVAL 29 DAYS")),
+    )
+    return j.groupBy(F.col("s.d").cast("date").alias("day")).agg(
+        F.countDistinct(
+            F.when(F.col("u.d") == F.col("s.d"), F.col("u.user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(
+                F.col("u.d") >= F.col("s.d") - F.expr("INTERVAL 6 DAYS"),
+                F.col("u.user_id"),
+            )
+        ).alias("wau"),
+        F.countDistinct("u.user_id").alias("mau"),
+    )
+
+
+SQL_ACTIVE_USERS = """
+WITH daily AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+),
+spine AS (SELECT DISTINCT d FROM daily)
+SELECT s.d AS day,
+  COUNT(DISTINCT CASE WHEN u.d = s.d THEN user_id END) AS dau,
+  COUNT(DISTINCT CASE WHEN u.d >= s.d - INTERVAL 6 DAY THEN user_id END) AS wau,
+  COUNT(DISTINCT user_id) AS mau
+FROM spine s JOIN daily u
+  ON u.d <= s.d AND u.d >= s.d - INTERVAL 29 DAY
+GROUP BY s.d
+"""
+
 QUERIES: dict[str, Query] = {
     "events_funnel": Query(q_funnel, SQL_FUNNEL),
     "events_scd2_intervals": Query(q_scd2_intervals, SQL_SCD2_INTERVALS),
@@ -873,4 +923,5 @@ QUERIES: dict[str, Query] = {
     "events_type_stats": Query(q_event_type_stats, SQL_EVENT_TYPE_STATS),
     "events_path_topk": Query(q_path_topk, SQL_PATH_TOPK),
     "events_watermark_audit": Query(q_watermark_audit, SQL_WATERMARK_AUDIT),
+    "events_active_users": Query(q_active_users, SQL_ACTIVE_USERS),
 }
