@@ -874,7 +874,10 @@ def q_active_users(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("u.d") <= F.col("s.d"))
         & (F.col("u.d") >= F.col("s.d") - F.expr("INTERVAL 29 DAYS")),
     )
-    return j.groupBy(F.col("s.d").cast("date").alias("day")).agg(
+    # Stays TIMESTAMP (date_trunc's type), matching the oracle: a DATE
+    # cast lands in pandas as object(datetime.date) vs DuckDB's
+    # datetime64 and the driver's str-hash would diverge.
+    return j.groupBy(F.col("s.d").alias("day")).agg(
         F.countDistinct(
             F.when(F.col("u.d") == F.col("s.d"), F.col("u.user_id"))
         ).alias("dau"),
