@@ -13,6 +13,7 @@ from . import (
     curation,
     curation2,
     curation3,
+    curation4,
     dedup,
     events,
     graph,
@@ -34,6 +35,7 @@ from . import (
     tpch3,
     tpch4,
     udfs,
+    vector2,
 )
 
 
@@ -191,6 +193,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_lang_confusion",
     "events_watermark_audit",
     "events_active_users",
+    # round-4 wave 3 — PQ/int8 vector storage, BPE training, span cuts,
+    # reproducible splits; still after every older unchecked entry
+    # (window: 37 backlog + 5 wave-3 = 42 <= 50)
+    "similarity_ann_pq_recall",
+    "embedding_quantize_int8",
+    "tokenizer_bpe_train",
+    "dedup_span_removal",
+    "dataset_split",
 )
 
 
@@ -240,6 +250,7 @@ def all_queries() -> dict[str, Query]:
         curation,
         curation2,
         curation3,
+        curation4,
         sketches3,
         graph,
         tpch3,
@@ -260,6 +271,7 @@ def all_queries() -> dict[str, Query]:
         tpch2,
         pipeline2,
         quality,
+        vector2,
     ):
         for name, q in mod.QUERIES.items():
             if name in merged:

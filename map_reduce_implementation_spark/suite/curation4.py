@@ -1,0 +1,333 @@
+"""Training-data pipeline depth, round 4 wave 3 (EXT): BPE merge
+learning, span-level cut application, and reproducible dataset splits.
+
+- ``tokenizer_bpe_train`` — the first 3 merge steps of byte-pair
+  encoding (Sennrich et al. 2016) learned DISTRIBUTED: the count→merge
+  loop every BPE trainer runs, here as 3 unrolled Spark iterations.
+- ``dedup_span_removal`` — applies the Lee et al. 2022 repeated-span
+  signal: tokens covered by any corpus-repeated 10-token window are
+  cut, and the query reports exactly how much of each document
+  survives (the transform the detection query only scores).
+- ``dataset_split`` — deterministic hash-bucketed train/valid/test
+  assignment (90/5/5) with per-(split, language) doc and token
+  accounting — the reproducible-split contract every training run
+  depends on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+from ..sources import table
+from .base import Query
+
+BPE_MERGES = 3
+
+
+def _pair_top1(tok_df: DataFrame) -> DataFrame:
+    """Most frequent adjacent token pair (1 row: a, b, cnt).
+
+    Pairs with a == b are excluded so every occurrence of the winning
+    pair is non-overlapping and the merge can be applied as one
+    position-parallel map (greedy left-to-right and simultaneous
+    replacement agree exactly when the two halves differ). The pair
+    count is a map-side-combinable aggregate; top-1 is
+    TakeOrderedAndProject. Ties break lexicographically on (a, b)."""
+    pairs = tok_df.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+
+
+def _apply_merge(tok_df: DataFrame, top1: DataFrame) -> DataFrame:
+    """Rewrite every token array, fusing each (a, b) adjacency into
+    "a_b". The 1-row winner arrives by broadcast crossJoin (in-plan, no
+    collect); the rewrite itself is a pure map over 0-based positions
+    using null-safe ``get`` (out-of-bounds → NULL → condition false),
+    so short arrays never error. Position i becomes the fused token
+    when (t[i], t[i+1]) matches, is dropped when (t[i-1], t[i])
+    matches, and passes through otherwise — a != b guarantees the two
+    conditions never both fire."""
+    j = tok_df.crossJoin(
+        F.broadcast(top1.select(F.col("a").alias("pa"), F.col("b").alias("pb")))
+    )
+    merged = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 1),
+            lambda i: F.when(
+                (F.get("t", i) == F.col("pa"))
+                & (F.get("t", i + 1) == F.col("pb")),
+                F.concat(F.col("pa"), F.lit("_"), F.col("pb")),
+            )
+            .when(
+                (i > 0)
+                & (F.get("t", i - 1) == F.col("pa"))
+                & (F.get("t", i) == F.col("pb")),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(F.get("t", i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return j.select("doc_id", merged.alias("t"))
+
+
+def q_tokenizer_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """First {BPE_MERGES} BPE merges over the document corpus.
+
+    Each iteration is the canonical distributed BPE step: one
+    uniform-keyed pair-count shuffle (map-side combined), a 1-row
+    TakeOrderedAndProject winner broadcast back, and a zero-shuffle
+    corpus rewrite. Nothing driver-side ever holds more than the
+    winning pair, so the loop scales exactly like the shingle
+    pipelines; at 100 TB each merge is two linear scans (count +
+    rewrite) — the real trainers (e.g. SentencePiece's distributed
+    mode) run this identical shape for thousands of steps. Output: the
+    learned merge table (rank, left, right, support count)."""
+    d = table(spark, sf, "documents")
+    t = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= 2)
+    out = []
+    for rank in range(1, BPE_MERGES + 1):
+        top1 = _pair_top1(t)
+        out.append(
+            top1.select(
+                F.lit(rank).alias("merge_rank"),
+                F.col("a").alias("left_tok"),
+                F.col("b").alias("right_tok"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if rank < BPE_MERGES:
+            t = _apply_merge(t, top1)
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def _sql_bpe() -> str:
+    head = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents
+),
+t1 AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 2)"""
+    parts = [head]
+    for r in range(1, BPE_MERGES + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT ts[i] AS a, ts[i+1] AS b, COUNT(*) AS cnt
+  FROM t{r}, range(1, 100000) q(i)
+  WHERE i + 1 <= len(ts) AND ts[i] <> ts[i+1]
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT a AS pa, b AS pb, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""")
+        if r < BPE_MERGES:
+            parts.append(f""",
+t{r + 1} AS (
+  SELECT doc_id,
+    list_filter(list_transform(range(1, len(ts) + 1), i ->
+      CASE WHEN ts[i] = b{r}.pa AND ts[i+1] = b{r}.pb THEN b{r}.pa || '_' || b{r}.pb
+           WHEN i > 1 AND ts[i-1] = b{r}.pa AND ts[i] = b{r}.pb THEN NULL
+           ELSE ts[i] END), x -> x IS NOT NULL) AS ts
+  FROM t{r}, b{r}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, pa AS left_tok, pb AS right_tok, cnt AS pair_count FROM b{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+SPAN_N = 10
+
+
+def q_dedup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-cut accounting: a token is removed when ANY corpus-repeated
+    {SPAN_N}-token window covers it (Lee et al. 2022's ExactSubstr cut
+    rule — the sibling query ``dedup_repeated_substrings`` only scores
+    windows; this one applies the cut and reports what survives).
+
+    Plan: position-preserving hashed windows (longs, never text), one
+    uniform window-hash aggregate for global counts, join-back, then
+    covered positions explode into at most {SPAN_N} rows per repeated
+    window before a doc-keyed distinct — every shuffle key is uniform
+    and the covered stream is bounded by {SPAN_N}× the repeated-window
+    count, not by corpus size. Short docs yield zero windows (same
+    guard as the detection query) and come back whole."""
+    n = SPAN_N
+    d = table(spark, sf, "documents")
+    bound = d.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: F.xxhash64(t)).alias("hts"),
+    )
+    wins = bound.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.when(
+                    F.size("hts") >= n,
+                    F.sequence(F.lit(1), F.size("hts") - (n - 1)),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.xxhash64(F.slice("hts", i, n)),
+            )
+        ).alias("pos", "whash"),
+    )
+    counts = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("c"))
+    covered = (
+        wins.join(counts.filter(F.col("c") > 1).select("whash"), "whash")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    removed = covered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    base = bound.select("doc_id", F.size("hts").alias("n_tokens"))
+    return (
+        base.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (F.col("n_tokens") - F.coalesce("n_removed", F.lit(0))).alias(
+                "kept_tokens"
+            ),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_removed", F.lit(0))
+                    / F.col("n_tokens").cast("double"),
+                    9,
+                )
+            )
+            .alias("removed_frac"),
+        )
+    )
+
+
+SQL_DEDUP_SPAN_REMOVAL = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents
+),
+w AS (
+  SELECT doc_id, i AS pos,
+    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
+      || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] || ' ' || ts[i+8]
+      || ' ' || ts[i+9] AS win
+  FROM toks, range(1, 100000) r(i)
+  WHERE i + {SPAN_N - 1} <= len(ts)
+),
+counts AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.pos + j AS tp
+  FROM w JOIN counts USING (win), range(0, {SPAN_N}) r(j)
+),
+removed AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+SELECT t.doc_id, len(t.ts) AS n_tokens,
+  COALESCE(r.n_removed, 0) AS n_removed,
+  len(t.ts) - COALESCE(r.n_removed, 0) AS kept_tokens,
+  CASE WHEN len(t.ts) = 0 THEN 0.0
+       ELSE ROUND(COALESCE(r.n_removed, 0) / CAST(len(t.ts) AS DOUBLE), 9)
+  END AS removed_frac
+FROM toks t LEFT JOIN removed r USING (doc_id)
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test split with per-(split,
+    lang) accounting — the reproducible-split contract: assignment
+    depends only on doc_id (md5 bucket, the engine-reproducible hash
+    recipe shared with the CMS/Bloom sketches), so re-runs, backfills
+    and other engines all agree on membership with NO stored split
+    table. The assignment is a zero-shuffle map; the audit is one
+    (split, lang)-keyed aggregate over ~|splits|·|langs| cells, and the
+    share-of-split window runs over those aggregated cells only."""
+    d = table(spark, sf, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < 90, F.lit("train"))
+        .when(b < 95, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    cells = (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.size(tokens("text")).alias("ntok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("split")
+    return cells.select(
+        "split",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 9
+        ).alias("doc_share"),
+    )
+
+
+SQL_DATASET_SPLIT = """
+WITH assigned AS (
+  SELECT
+    CASE WHEN ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+         WHEN ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'valid'
+         ELSE 'test' END AS split,
+    lang,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS ntok
+  FROM documents
+),
+cells AS (
+  SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+  FROM assigned GROUP BY split, lang
+)
+SELECT split, lang, n_docs, n_tokens,
+  ROUND(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY split) AS DOUBLE), 9) AS doc_share
+FROM cells
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "tokenizer_bpe_train": Query(q_tokenizer_bpe_train, _sql_bpe()),
+    "dedup_span_removal": Query(q_dedup_span_removal, SQL_DEDUP_SPAN_REMOVAL),
+    "dataset_split": Query(q_dataset_split, SQL_DATASET_SPLIT),
+}

@@ -1,0 +1,321 @@
+"""Vector-storage depth, round 4 wave 3 (EXT): product quantization and
+int8 embedding quantization — the two operations a 100 TB embedding
+store runs before anything else touches it.
+
+- ``similarity_ann_pq_recall`` — PQ (Jégou et al. 2011 "Product
+  Quantization for Nearest Neighbor Search") with asymmetric distance
+  computation (ADC), graded as recall@k against the exact L2 top-k.
+  Completes the ANN family next to the LSH and IVF arms: LSH prunes by
+  bucket, IVF prunes by cell, PQ compresses the VECTORS themselves
+  (64 floats → 8 byte codes here) so the scan reads 32× less data.
+- ``embedding_quantize_int8`` — per-dimension symmetric int8
+  quantization (max-abs / 127 scale) with exact reconstruction-error
+  accounting — the fp32→int8 storage decision, measured instead of
+  guessed.
+
+Both follow the engine-reproducible-parameter convention from
+``suite.similarity`` (first-k rows as codebook, sequential-fold sums,
+9 dp rounding, unique tie-break keys) so the driver hash-grades the
+whole pipeline: assignment, LUT, ADC ordering AND the recall number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table
+from .base import Query
+from .similarity import QUERY_VEC_ID, TOP_K, _query_vec
+
+# 64-dim embeddings → 8 subspaces × 8 dims, 16 codewords per subspace
+# (codebook = sub-vectors of the first 16 vec_ids: deterministic "init
+# from data" — the same SQL-reproducible trick the IVF arm uses for
+# centroids, so the oracle derives the identical codebook in-query).
+PQ_M = 8
+PQ_SUB = 8
+PQ_K = 16
+
+
+def _ssd(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (deterministic order →
+    bit-identical to DuckDB's left-to-right list_sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ-ADC recall@k, end-to-end driver-gradable.
+
+    Plan (the 100 TB shape): the codebook is {PQ_K}×{PQ_M} sub-vectors
+    derived IN-PLAN from the first {PQ_K} rows and broadcast — never a
+    data-sized structure. Encoding explodes each vector into M
+    sub-vectors (map-side), scores them against the broadcast codebook
+    and argmins with ONE (vec_id, m)-keyed aggregate; the ADC lookup
+    table (query-side distances to every codeword) is another broadcast
+    of M·K rows, so scoring the whole corpus is a broadcast join + one
+    vec_id-keyed fold — cost linear in vectors, and at scale the codes
+    (M bytes) replace the raw floats (4·dim bytes) on disk: a 32×
+    scan-volume reduction, which is the entire point of PQ. The final
+    top-k is TakeOrderedAndProject. Argmin ties break to the lower
+    codeword id in BOTH engines (min(struct) vs ROW_NUMBER); ADC sums
+    fold in subspace order in both engines."""
+    e = table(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf)
+
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sub = base.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice("v", m * PQ_SUB + 1, PQ_SUB),
+            )
+        ).alias("m", "sv"),
+    )
+    cb = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("m").alias("cm"),
+            F.col("sv").alias("cw"),
+        )
+    )
+    assign = (
+        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select("vec_id", "m", "c_id", _ssd(F.col("sv"), F.col("cw")).alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "c_id")).alias("best"))
+        .select("vec_id", "m", F.col("best.c_id").alias("code"))
+    )
+    # ADC LUT: distance from each query SUB-vector to each codeword —
+    # M·K rows, broadcast. The query arrives as a plan literal (array of
+    # per-subspace arrays), indexed by the codebook's cm.
+    qsubs = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in qv[m * PQ_SUB : (m + 1) * PQ_SUB]])
+            for m in range(PQ_M)
+        ]
+    )
+    lut = cb.select(
+        "cm",
+        "c_id",
+        _ssd(F.element_at(qsubs, F.col("cm") + 1), F.col("cw")).alias("qd"),
+    )
+    adc = (
+        assign.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("cm")) & (F.col("code") == F.col("c_id")),
+        )
+        .groupBy("vec_id")
+        .agg(F.collect_list(F.struct("m", "qd")).alias("parts"))
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.array_sort("parts"),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["qd"],
+                ),
+                9,
+            ).alias("adist"),
+        )
+    )
+    ann = (
+        adc.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    exact = (
+        base.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", F.round(_ssd(F.col("v"), qlit), 9).alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    hits = ann.join(exact, "vec_id").agg(F.count("*").alias("hits"))
+    return hits.select(
+        F.lit(TOP_K).alias("k"),
+        F.lit(PQ_M).alias("m_subspaces"),
+        F.lit(PQ_K).alias("n_codewords"),
+        "hits",
+        (F.col("hits").cast("double") / TOP_K).alias("recall_at_k"),
+    )
+
+
+SQL_ANN_PQ_RECALL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+sub AS (
+  SELECT vec_id, m,
+    list_slice(CAST(embedding AS DOUBLE[]), m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS sv
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
+),
+cb AS (SELECT vec_id AS c_id, m AS cm, sv AS cw FROM sub WHERE vec_id < {PQ_K}),
+assign AS (
+  SELECT vec_id, m, c_id AS code FROM (
+    SELECT s.vec_id, s.m, c.c_id,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        list_sum(list_transform(list_zip(s.sv, c.cw), x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        c.c_id ASC) AS rk
+    FROM sub s JOIN cb c ON s.m = c.cm
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT cm, c_id,
+    list_sum(list_transform(
+      list_zip(list_slice(q.qv, cm*{PQ_SUB}+1, cm*{PQ_SUB}+{PQ_SUB}), cw),
+      x -> (x[1]-x[2])*(x[1]-x[2]))) AS qd
+  FROM cb, q
+),
+adc AS (
+  SELECT vec_id, ROUND(list_sum(parts), 9) AS adist FROM (
+    SELECT a.vec_id, list(l.qd ORDER BY a.m) AS parts
+    FROM assign a JOIN lut l ON a.m = l.cm AND a.code = l.c_id
+    GROUP BY a.vec_id
+  )
+),
+ann AS (
+  SELECT vec_id FROM adc WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY adist ASC, vec_id ASC LIMIT {TOP_K}
+),
+exact AS (
+  SELECT e.vec_id,
+    ROUND(list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv),
+      x -> (x[1]-x[2])*(x[1]-x[2]))), 9) AS d2
+  FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+  ORDER BY d2 ASC, vec_id ASC LIMIT {TOP_K}
+),
+h AS (SELECT COUNT(*) AS hits FROM ann JOIN exact USING (vec_id))
+SELECT {TOP_K} AS k, {PQ_M} AS m_subspaces, {PQ_K} AS n_codewords,
+  hits, CAST(hits AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM h
+"""
+
+
+# error quantizer for exact integer summation (base.py convention: the
+# per-value error is a full-mantissa double — no float32 tie exposure —
+# but SUMMING doubles is order-dependent, so sum exact ints instead)
+_ERR_Q = 1_000_000_000  # 1e9: errors are < 0.5·scale ≈ 1e-2, 9 dp kept
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension symmetric int8 quantization audit.
+
+    scale_d = max|x_d| / 127; code = clamp(round-half-up(x/scale));
+    reconstruction error |code·scale − x| is summed EXACTLY (1e-9
+    integer quantizer, base.py convention) so the mean is partition-
+    order independent. Two dim-keyed aggregates (64 cells each, fully
+    map-side combinable) with a broadcast scale join between them — at
+    100 TB this is two linear scans and two 64-row shuffles; the int8
+    write itself (not materialized here) would be a pure map using the
+    same broadcast scales. Dead dims (scale 0) encode to 0 with zero
+    error rather than dividing by zero."""
+    e = table(spark, sf, "embeddings")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    scales = dims.groupBy("dim").agg(
+        (F.max(F.abs("x")) / F.lit(127.0)).alias("scale"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    q = (
+        dims.join(F.broadcast(scales), "dim")
+        .select(
+            "dim",
+            "x",
+            "scale",
+            F.when(F.col("scale") == 0.0, F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.lit(-127),
+                    F.least(
+                        F.lit(127),
+                        F.floor(F.col("x") / F.col("scale") + 0.5).cast("int"),
+                    ),
+                )
+            )
+            .alias("code"),
+        )
+        .select(
+            "dim",
+            F.floor(
+                F.abs(F.col("code") * F.col("scale") - F.col("x")) * _ERR_Q + 0.5
+            )
+            .cast("long")
+            .alias("ei"),
+            F.abs(F.col("code") * F.col("scale") - F.col("x")).alias("err"),
+        )
+    )
+    return (
+        q.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.max("err"), 9).alias("max_abs_err"),
+            F.sum("ei").alias("esum"),
+        )
+        .join(F.broadcast(scales.select("dim", "scale")), "dim")
+        .select(
+            "dim",
+            "n_values",
+            F.round("scale", 9).alias("scale"),
+            "max_abs_err",
+            F.round(
+                F.col("esum").cast("double")
+                / F.col("n_values")
+                / F.lit(float(_ERR_Q)),
+                9,
+            ).alias("mean_abs_err"),
+        )
+    )
+
+
+SQL_EMBEDDING_QUANTIZE_INT8 = f"""
+WITH dims AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(1, 4097) r(i)
+  WHERE i <= len(embedding)
+),
+scales AS (
+  SELECT dim, MAX(ABS(x)) / 127.0 AS scale, COUNT(*) AS n FROM dims GROUP BY dim
+),
+q AS (
+  SELECT d.dim,
+    CASE WHEN s.scale = 0.0 THEN 0
+         ELSE GREATEST(-127, LEAST(127, CAST(FLOOR(d.x / s.scale + 0.5) AS INTEGER)))
+    END AS code,
+    s.scale, d.x
+  FROM dims d JOIN scales s USING (dim)
+),
+err AS (
+  SELECT dim,
+    CAST(FLOOR(ABS(code * scale - x) * {_ERR_Q} + 0.5) AS BIGINT) AS ei,
+    ABS(code * scale - x) AS err
+  FROM q
+)
+SELECT e.dim, COUNT(*) AS n_values,
+  ROUND(ANY_VALUE(s.scale), 9) AS scale,
+  ROUND(MAX(e.err), 9) AS max_abs_err,
+  ROUND(CAST(SUM(e.ei) AS DOUBLE) / COUNT(*) / {_ERR_Q}.0, 9) AS mean_abs_err
+FROM err e JOIN scales s USING (dim)
+GROUP BY e.dim
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "similarity_ann_pq_recall": Query(q_ann_pq_recall, SQL_ANN_PQ_RECALL),
+    "embedding_quantize_int8": Query(
+        q_embedding_quantize_int8, SQL_EMBEDDING_QUANTIZE_INT8
+    ),
+}
