@@ -104,6 +104,10 @@ HEADLINE = [
     "gopher_quality_gate",
     "tokenizer_fertility",
     "embedding_linear_probe",
+    # round-4 wave 3: PQ + BPE + span cuts
+    "similarity_ann_pq_recall",
+    "tokenizer_bpe_train",
+    "dedup_span_removal",
 ]
 
 

@@ -41,43 +41,47 @@ def test_int8_quantize_error_bounded_by_half_scale(spark):
 
 
 def test_bpe_merges_match_naive_python(spark):
-    """The 3 learned merges equal a single-threaded reference BPE on
-    the same token streams (count pairs, merge winner, repeat)."""
+    """The 3 learned merges equal a single-threaded reference BPE over
+    the same word-frequency dictionary (Sennrich et al.'s formulation:
+    count symbol pairs weighted by word freq, merge winner, repeat)."""
     docs = table(spark, SF0001, "documents").select("text").collect()
     import re
 
-    corpora = [
-        [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
-        for r in docs
+    vocab: Counter = Counter()
+    for r in docs:
+        for w in re.split(r"[^a-z0-9]+", r["text"].lower()):
+            if w:
+                vocab[w] += 1
+    dict_syms = [
+        (list(w), freq) for w, freq in vocab.items() if len(w) >= 2
     ]
-    corpora = [t for t in corpora if len(t) >= 2]
 
-    def top_pair(cs):
-        c = Counter()
-        for ts in cs:
+    def top_pair(entries):
+        c: Counter = Counter()
+        for ts, freq in entries:
             for a, b in zip(ts, ts[1:]):
                 if a != b:
-                    c[(a, b)] += 1
+                    c[(a, b)] += freq
         # max count, then lexicographically smallest pair
         return min(c.items(), key=lambda kv: (-kv[1], kv[0]))
 
-    def merge(cs, pair):
+    def merge(entries, pair):
         a, b = pair
         out = []
-        for ts in cs:
+        for ts, freq in entries:
             res, i = [], 0
             while i < len(ts):
                 if i + 1 < len(ts) and ts[i] == a and ts[i + 1] == b:
-                    res.append(f"{a}_{b}")
+                    res.append(a + b)
                     i += 2
                 else:
                     res.append(ts[i])
                     i += 1
-            out.append(res)
+            out.append((res, freq))
         return out
 
     expected = []
-    cs = corpora
+    cs = dict_syms
     for rank in range(1, 4):
         (a, b), cnt = top_pair(cs)
         expected.append((rank, a, b, cnt))
@@ -85,7 +89,7 @@ def test_bpe_merges_match_naive_python(spark):
             cs = merge(cs, (a, b))
 
     got = [
-        (r["merge_rank"], r["left_tok"], r["right_tok"], r["pair_count"])
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
         for r in sorted(
             QS["tokenizer_bpe_train"].build(spark, SF0001).collect()
         )
