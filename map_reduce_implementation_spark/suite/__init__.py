@@ -201,6 +201,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tokenizer_bpe_train",
     "dedup_span_removal",
     "dataset_split",
+    "text_char_entropy",
+    "join_skew_audit",
 )
 
 

@@ -324,6 +324,59 @@ FROM b
 """
 
 
+def window_hash_frames(
+    spark: SparkSession, sf: str, n: int = 10
+) -> tuple[DataFrame, DataFrame]:
+    """Shared span-dedup plumbing: (bound, wins) where ``bound`` is
+    (doc_id, hts: per-token xxhash64 array) and ``wins`` is the
+    position-preserving hash of every ``n``-token window
+    (doc_id, pos, whash). Used by both the detection query below and
+    ``curation4.q_dedup_span_removal`` — ONE implementation so window
+    size, tokenization and the short-doc guard cannot drift apart.
+
+    Short-doc guard: ``sequence(1, 0)`` is DESCENDING in Spark, so a
+    doc with < n tokens would evaluate ``slice(hts, 0, n)`` and throw —
+    when/otherwise makes short docs yield zero windows instead."""
+    from ..functions import tokens
+
+    d = table(spark, sf, "documents")
+    bound = d.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: F.xxhash64(t)).alias("hts"),
+    )
+    wins = bound.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.when(
+                    F.size("hts") >= n,
+                    F.sequence(F.lit(1), F.size("hts") - (n - 1)),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.xxhash64(F.slice("hts", i, n)),
+            )
+        ).alias("pos", "whash"),
+    )
+    return bound, wins
+
+
+# the matching DuckDB CTE pair (toks + w) for n=10 windows — composed
+# into both span-dedup oracles so the SQL twin can't drift either
+SQL_TOKS_WINDOWS_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents
+),
+w AS (
+  SELECT doc_id, i AS pos,
+    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
+      || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] || ' ' || ts[i+8]
+      || ' ' || ts[i+9] AS win
+  FROM toks, range(1, 100000) r(i)
+  WHERE i + 9 <= len(ts)
+)"""
+
+
 def q_dedup_repeated_substrings(spark: SparkSession, sf: str) -> DataFrame:
     """Exact repeated-substring detection (the span-level dedup of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -337,29 +390,7 @@ def q_dedup_repeated_substrings(spark: SparkSession, sf: str) -> DataFrame:
     uniform hash-keyed aggregate for global counts, join back, one
     doc-keyed aggregate. Two shuffles, both on uniform keys; the window
     stream is longs, never text. Scales like the shingle pipeline."""
-    from ..functions import tokens
-
-    n = 10
-    d = table(spark, sf, "documents")
-    bound = d.select(
-        "doc_id",
-        F.transform(tokens("text"), lambda t: F.xxhash64(t)).alias("hts"),
-    )
-    # Same short-doc guard as _shingles: sequence(1, 0) is DESCENDING in
-    # Spark, so a doc with < n tokens would evaluate slice(hts, 0, n) and
-    # throw — when/otherwise makes short docs yield zero windows instead.
-    wins = bound.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.when(
-                    F.size("hts") >= n,
-                    F.sequence(F.lit(1), F.size("hts") - (n - 1)),
-                ).otherwise(F.array().cast("array<int>")),
-                lambda i: F.xxhash64(F.slice("hts", i, n)),
-            )
-        ).alias("pos", "whash"),
-    )
+    _, wins = window_hash_frames(spark, sf, 10)
     counts = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("c"))
     return (
         wins.join(counts, "whash")
@@ -374,20 +405,7 @@ def q_dedup_repeated_substrings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_REPEATED_SUBSTRINGS = """
-WITH toks AS (
-  SELECT doc_id,
-    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
-  FROM documents
-),
-w AS (
-  SELECT doc_id, i AS pos,
-    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
-      || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] || ' ' || ts[i+8]
-      || ' ' || ts[i+9] AS win
-  FROM toks, range(1, 100000) r(i)
-  WHERE i + 9 <= len(ts)
-),
+SQL_DEDUP_REPEATED_SUBSTRINGS = SQL_TOKS_WINDOWS_CTE + """,
 counts AS (SELECT win, COUNT(*) AS c FROM w GROUP BY 1)
 SELECT w.doc_id, COUNT(*) AS n_windows,
   CAST(SUM(CASE WHEN counts.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,

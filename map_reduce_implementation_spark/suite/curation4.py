@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions import tokens
 from ..sources import table
 from .base import Query
+from .curation2 import SQL_TOKS_WINDOWS_CTE
 
 BPE_MERGES = 3
 
@@ -206,25 +207,14 @@ def q_dedup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     window before a doc-keyed distinct — every shuffle key is uniform
     and the covered stream is bounded by {SPAN_N}× the repeated-window
     count, not by corpus size. Short docs yield zero windows (same
-    guard as the detection query) and come back whole."""
+    guard as the detection query) and come back whole. Window building
+    is ``curation2.window_hash_frames`` — the SAME implementation the
+    detection query uses, so tokenization, window size and the
+    short-doc guard cannot drift between score and cut."""
+    from .curation2 import window_hash_frames
+
     n = SPAN_N
-    d = table(spark, sf, "documents")
-    bound = d.select(
-        "doc_id",
-        F.transform(tokens("text"), lambda t: F.xxhash64(t)).alias("hts"),
-    )
-    wins = bound.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.when(
-                    F.size("hts") >= n,
-                    F.sequence(F.lit(1), F.size("hts") - (n - 1)),
-                ).otherwise(F.array().cast("array<int>")),
-                lambda i: F.xxhash64(F.slice("hts", i, n)),
-            )
-        ).alias("pos", "whash"),
-    )
+    bound, wins = window_hash_frames(spark, sf, n)
     counts = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("c"))
     covered = (
         wins.join(counts.filter(F.col("c") > 1).select("whash"), "whash")
@@ -260,20 +250,7 @@ def q_dedup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_SPAN_REMOVAL = f"""
-WITH toks AS (
-  SELECT doc_id,
-    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
-  FROM documents
-),
-w AS (
-  SELECT doc_id, i AS pos,
-    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
-      || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] || ' ' || ts[i+8]
-      || ' ' || ts[i+9] AS win
-  FROM toks, range(1, 100000) r(i)
-  WHERE i + {SPAN_N - 1} <= len(ts)
-),
+SQL_DEDUP_SPAN_REMOVAL = SQL_TOKS_WINDOWS_CTE + f""",
 counts AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1),
 cov AS (
   SELECT DISTINCT w.doc_id, w.pos + j AS tp
@@ -299,19 +276,10 @@ def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
     table. The assignment is a zero-shuffle map; the audit is one
     (split, lang)-keyed aggregate over ~|splits|·|langs| cells, and the
     share-of-split window runs over those aggregated cells only."""
+    from .pipeline2 import _md5_bucket
+
     d = table(spark, sf, "documents")
-    b = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    b = _md5_bucket("split|", F.col("doc_id").cast("string"), 100)
     split = (
         F.when(b < 90, F.lit("train"))
         .when(b < 95, F.lit("valid"))
@@ -361,8 +329,139 @@ FROM cells
 """
 
 
+# ln(2) as an exact double literal shared by both engines (dividing by
+# an engine-evaluated ln(2) would bet on two libm's agreeing; a literal
+# doesn't)
+_LN2 = 0.6931471805599453
+
+
+def q_text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level Shannon entropy per document, in bits — the
+    cheap gibberish/boilerplate gate (very low entropy = repeated
+    filler, very high = random noise; both are cut before tokenization
+    ever runs).
+
+    Plan: one char explode (map-side), one (doc, char)-keyed count,
+    one doc-keyed sequential fold over the ≤|alphabet| per-doc terms —
+    all uniform keys, nothing driver-side. The p·ln p term is computed
+    per (doc, char) row with identical double ops in both engines and
+    summed in char order (array_sort fold == list_sum(list ORDER BY)),
+    the suite's standard deterministic-float idiom."""
+    d = table(spark, sf, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.lower("text").substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cc.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    terms = cc.join(tot, "doc_id").select(
+        "doc_id",
+        "ch",
+        "n",
+        (
+            (F.col("cnt") / F.col("n"))
+            * F.log(F.col("cnt") / F.col("n"))
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.collect_list(F.struct("ch", "term")).alias("parts"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            F.round(
+                -F.aggregate(
+                    F.array_sort("parts"),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["term"],
+                )
+                / F.lit(_LN2),
+                9,
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+SQL_TEXT_CHAR_ENTROPY = f"""
+WITH chars AS (
+  SELECT doc_id, substr(lower(text), CAST(i AS INTEGER), 1) AS ch
+  FROM documents, range(1, 100000) r(i)
+  WHERE i <= len(text)
+),
+cc AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM cc GROUP BY 1),
+terms AS (
+  SELECT cc.doc_id, cc.ch, tot.n,
+    (cc.cnt / CAST(tot.n AS DOUBLE)) * ln(cc.cnt / CAST(tot.n AS DOUBLE)) AS term
+  FROM cc JOIN tot USING (doc_id)
+)
+SELECT doc_id, MAX(n) AS n_chars,
+  COUNT(*) AS n_distinct_chars,
+  ROUND(-list_sum(list(term ORDER BY ch)) / {_LN2!r}, 9) AS entropy_bits
+FROM terms GROUP BY doc_id
+"""
+
+
+def q_join_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew profile of lineitem's supplier key — the measurement a
+    pipeline takes BEFORE deciding to salt a join or rely on AQE's
+    skew-join split, instead of guessing. Reports row/key counts, the
+    heaviest key's share, and the exact p50/p99 of the per-key row
+    distribution.
+
+    Plan: one uniform key-count shuffle (map-side combinable), then all
+    statistics reduce the |keys|-sized count table to ONE row — the
+    percentile works on per-key counts, never raw rows. At 100 TB this
+    is one linear scan + a keys-sized aggregate; the output feeds the
+    salt-factor choice (max_key_rows / avg_key_rows)."""
+    li = table(spark, sf, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(
+            F.sum("cnt") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_key_rows"),
+        F.round(
+            F.max("cnt")
+            / (F.sum("cnt") / F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("skew_ratio"),
+        F.percentile("cnt", F.lit(0.5)).alias("p50_key_rows"),
+        F.percentile("cnt", F.lit(0.99)).alias("p99_key_rows"),
+    )
+
+
+SQL_JOIN_SKEW_AUDIT = """
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+  COUNT(*) AS n_keys,
+  MAX(cnt) AS max_key_rows,
+  ROUND(SUM(cnt) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_key_rows,
+  ROUND(MAX(cnt) / (SUM(cnt) / CAST(COUNT(*) AS DOUBLE)), 6) AS skew_ratio,
+  quantile_cont(cnt, 0.5) AS p50_key_rows,
+  quantile_cont(cnt, 0.99) AS p99_key_rows
+FROM counts
+"""
+
+
 QUERIES: dict[str, Query] = {
     "tokenizer_bpe_train": Query(q_tokenizer_bpe_train, _sql_bpe()),
     "dedup_span_removal": Query(q_dedup_span_removal, SQL_DEDUP_SPAN_REMOVAL),
     "dataset_split": Query(q_dataset_split, SQL_DATASET_SPLIT),
+    "text_char_entropy": Query(q_text_char_entropy, SQL_TEXT_CHAR_ENTROPY),
+    "join_skew_audit": Query(q_join_skew_audit, SQL_JOIN_SKEW_AUDIT),
 }

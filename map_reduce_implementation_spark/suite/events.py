@@ -896,7 +896,7 @@ WITH daily AS (
   SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
 ),
 spine AS (SELECT DISTINCT d FROM daily)
-SELECT s.d AS day,
+SELECT CAST(s.d AS TIMESTAMP) AS day,
   COUNT(DISTINCT CASE WHEN u.d = s.d THEN user_id END) AS dau,
   COUNT(DISTINCT CASE WHEN u.d >= s.d - INTERVAL 6 DAY THEN user_id END) AS wau,
   COUNT(DISTINCT user_id) AS mau

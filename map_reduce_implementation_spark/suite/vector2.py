@@ -65,6 +65,13 @@ def q_ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     fold in subspace order in both engines."""
     e = table(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
+    # loud guard: the PQ layout assumes dim == M·SUB; a silent mismatch
+    # would null-pad sub-vectors on the Spark side but clamp slices on
+    # the DuckDB side — fail here instead of diverging downstream
+    if len(qv) != PQ_M * PQ_SUB:
+        raise ValueError(
+            f"PQ layout expects dim {PQ_M * PQ_SUB}, embeddings have {len(qv)}"
+        )
 
     base = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -250,6 +257,7 @@ def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(
             "dim",
+            "scale",
             F.floor(
                 F.abs(F.col("code") * F.col("scale") - F.col("x")) * _ERR_Q + 0.5
             )
@@ -258,18 +266,20 @@ def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
             F.abs(F.col("code") * F.col("scale") - F.col("x")).alias("err"),
         )
     )
+    # scale is constant per dim, so max() re-emits it through the final
+    # aggregate — no second broadcast join needed
     return (
         q.groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n_values"),
+            F.round(F.max("scale"), 9).alias("scale"),
             F.round(F.max("err"), 9).alias("max_abs_err"),
             F.sum("ei").alias("esum"),
         )
-        .join(F.broadcast(scales.select("dim", "scale")), "dim")
         .select(
             "dim",
             "n_values",
-            F.round("scale", 9).alias("scale"),
+            "scale",
             "max_abs_err",
             F.round(
                 F.col("esum").cast("double")
@@ -299,17 +309,17 @@ q AS (
   FROM dims d JOIN scales s USING (dim)
 ),
 err AS (
-  SELECT dim,
+  SELECT dim, scale,
     CAST(FLOOR(ABS(code * scale - x) * {_ERR_Q} + 0.5) AS BIGINT) AS ei,
     ABS(code * scale - x) AS err
   FROM q
 )
-SELECT e.dim, COUNT(*) AS n_values,
-  ROUND(ANY_VALUE(s.scale), 9) AS scale,
-  ROUND(MAX(e.err), 9) AS max_abs_err,
-  ROUND(CAST(SUM(e.ei) AS DOUBLE) / COUNT(*) / {_ERR_Q}.0, 9) AS mean_abs_err
-FROM err e JOIN scales s USING (dim)
-GROUP BY e.dim
+SELECT dim, COUNT(*) AS n_values,
+  ROUND(MAX(scale), 9) AS scale,
+  ROUND(MAX(err), 9) AS max_abs_err,
+  ROUND(CAST(SUM(ei) AS DOUBLE) / COUNT(*) / {_ERR_Q}.0, 9) AS mean_abs_err
+FROM err
+GROUP BY dim
 """
 
 
