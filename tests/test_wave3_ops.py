@@ -122,6 +122,30 @@ def test_span_removal_consistent_with_detection(spark):
             assert r["n_removed"] >= 10, r  # at least one full window
 
 
+def test_char_entropy_bounds(spark):
+    """Shannon entropy over an alphabet of k symbols lies in
+    [0, log2 k]; zero iff the doc uses a single distinct character."""
+    import math
+
+    rows = QS["text_char_entropy"].build(spark, SF0001).collect()
+    assert rows, "no docs"
+    for r in rows:
+        ub = math.log2(r["n_distinct_chars"]) if r["n_distinct_chars"] else 0.0
+        assert -1e-9 <= r["entropy_bits"] <= ub + 1e-9, r
+        if r["n_distinct_chars"] == 1:
+            assert r["entropy_bits"] == 0.0, r
+
+
+def test_skew_audit_order_statistics(spark):
+    """max >= p99 >= p50, avg between min-possible and max, and the
+    row total equals the raw table count."""
+    r = QS["join_skew_audit"].build(spark, SF0001).collect()[0]
+    assert r["n_rows"] == table(spark, SF0001, "lineitem").count()
+    assert r["max_key_rows"] >= r["p99_key_rows"] >= r["p50_key_rows"] > 0
+    assert 1.0 <= r["skew_ratio"]
+    assert abs(r["avg_key_rows"] - r["n_rows"] / r["n_keys"]) < 1e-4
+
+
 def test_dataset_split_partition_and_determinism(spark):
     """Splits partition the corpus (doc counts sum to |documents|),
     shares sum to 1 within each split, and the train share is ~90%."""
