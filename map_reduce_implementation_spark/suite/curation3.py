@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..sources import table
 from .base import Query
+from .text import SQL_UNIGRAM_NLL_CTE
 
 RESAMPLE_BUDGET = 10_000
 
@@ -85,14 +86,17 @@ FROM c, t
 
 def q_nearest_centroid_confusion(spark: SparkSession, sf: str) -> DataFrame:
     """Nearest-centroid classifier eval: per-label mean centroids from
-    EXACT decimal component sums (posexplode → (label, dim)-keyed agg —
-    uniform keys, map-side combinable), centroids collected driver-side
-    (labels × dim scalars, the bounded IVF-style collect), every vector
-    assigned to its nearest centroid by the literal-fold argmin, and
-    the confusion matrix (true, predicted, n) reported with per-class
-    accuracy. Ties break to the lowest label id on both engines.
+    tie-safe integer-quantized component sums (posexplode →
+    (label, dim)-keyed agg — uniform keys, map-side combinable),
+    centroids collected driver-side (labels × dim scalars, the bounded
+    IVF-style collect), every vector assigned to its nearest centroid
+    by the literal-fold argmin, and the confusion matrix (true,
+    predicted, n) reported. Ties break to the lowest label id on both
+    engines.
 
-    Means are double-divisions of exact decimal sums, so both engines
+    Means are double-divisions of exact floor(x·1e7+0.5) integer sums
+    (base.py: a raw-float32 decimal cast can land on a rounding-
+    boundary tie where the engines differ by one ulp), so both engines
     materialize bit-identical centroid literals — the whole pipeline
     stays hash-exact without a single approximate compare."""
     from ..operators.similarity import _as_double
@@ -101,8 +105,13 @@ def q_nearest_centroid_confusion(spark: SparkSession, sf: str) -> DataFrame:
     comp = e.select(
         "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
     )
+    # float32 cells are dyadic rationals that can land EXACTLY on a
+    # decimal rounding boundary, where Spark's BigDecimal HALF_UP and
+    # DuckDB's float path disagree by one ulp (base.py convention, and
+    # observed: 0.1983642578125 in the shipped sf0.01 data) — so
+    # quantize with the modeless floor(x·1e7 + 0.5) and sum exact longs
     cent = comp.groupBy("label", "pos").agg(
-        F.sum(F.col("x").cast("decimal(28,12)")).alias("sx"),
+        F.sum(F.floor(F.col("x") * 1e7 + 0.5).cast("long")).alias("sq"),
         F.count(F.lit(1)).alias("n"),
     )
     cvec = (
@@ -113,7 +122,10 @@ def q_nearest_centroid_confusion(spark: SparkSession, sf: str) -> DataFrame:
                     F.collect_list(
                         F.struct(
                             "pos",
-                            (F.col("sx").cast("double") / F.col("n")).alias("m"),
+                            (
+                                F.col("sq").cast("double")
+                                / (F.lit(1e7) * F.col("n"))
+                            ).alias("m"),
                         )
                     )
                 ),
@@ -158,7 +170,8 @@ comp AS (
 ),
 cent AS (
   SELECT label, pos,
-    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+    CAST(SUM(CAST(FLOOR(x * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      / (10000000.0 * COUNT(*)) AS m
   FROM comp GROUP BY label, pos
 ),
 cvec AS (
@@ -192,21 +205,9 @@ def q_perplexity_bucket_sample(spark: SparkSession, sf: str) -> DataFrame:
     stratum is represented in the sample. The per-bucket rank is a
     4-partition window whose exchange is capped by WindowGroupLimit
     (rank ≤ k prunes map-side before the shuffle)."""
-    from .text import _tokens
+    from .text import unigram_avg_nll
 
-    d = table(spark, sf, "documents")
-    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
-    ctf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
-    total = ctf.agg(F.sum("ctf")).collect()[0][0]  # one scalar (corpus size)
-    nll = (
-        tok.join(F.broadcast(ctf), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                -F.sum(F.log(F.col("ctf") / F.lit(total))) / F.count(F.lit(1)), 6
-            ).alias("avg_nll")
-        )
-    )
+    nll = unigram_avg_nll(spark, sf).select("doc_id", "avg_nll")
     qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     cuts = nll.agg(F.percentile("avg_nll", qs).alias("cq"))
     bucketed = nll.crossJoin(F.broadcast(cuts)).select(
@@ -228,20 +229,7 @@ def q_perplexity_bucket_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_PERPLEXITY_BUCKET_SAMPLE = f"""
-WITH tok AS (
-  SELECT doc_id,
-    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
-  FROM documents
-),
-ctf AS (SELECT term, COUNT(*) AS ctf FROM tok GROUP BY term),
-total AS (SELECT CAST(SUM(ctf) AS BIGINT) AS t FROM ctf),
-nll AS (
-  SELECT tok.doc_id,
-    ROUND(-SUM(ln(ctf.ctf / total.t)) / COUNT(*), 6) AS avg_nll
-  FROM tok JOIN ctf ON tok.term = ctf.term CROSS JOIN total
-  GROUP BY tok.doc_id
-),
+SQL_PERPLEXITY_BUCKET_SAMPLE = SQL_UNIGRAM_NLL_CTE + f""",
 cuts AS (SELECT quantile_cont(avg_nll, [0.25, 0.5, 0.75]) AS cq FROM nll),
 b AS (
   SELECT n.doc_id, n.avg_nll,
@@ -282,9 +270,17 @@ def q_gopher_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
     t = d.select("doc_id", F.col("text"), _toks(F.col("text")).alias("t"))
     n_words = F.size("t")
     char_sum = F.aggregate("t", F.lit(0), lambda acc, x: acc + F.length(x))
-    mwl = F.round(char_sum.cast("double") / n_words, 4)
+    # zero-token docs (pure punctuation — exactly what a quality gate
+    # exists to classify) must yield NULL ratios and keep=false, not an
+    # ANSI DIVIDE_BY_ZERO that kills the whole arm; the CASE guard
+    # matches the oracle, where list_sum([]) is NULL and NULL/0 is NULL
+    mwl = F.when(
+        n_words > 0, F.round(char_sum.cast("double") / n_words, 4)
+    )
     symbols = F.size(F.regexp_extract_all("text", F.lit("[#…]"), 0))
-    sym_ratio = F.round(symbols.cast("double") / n_words, 6)
+    sym_ratio = F.when(
+        n_words > 0, F.round(symbols.cast("double") / n_words, 6)
+    )
     stop_hits = F.size(
         F.array_intersect(
             F.array_distinct("t"), F.array(*[F.lit(s) for s in STOPWORDS])
@@ -401,8 +397,12 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions import tokens as _toks
 
     d = table(spark, sf, "documents")
+    # true UTF-8 bytes (octet_length), not the n_chars character count:
+    # for multi-byte scripts the two differ 2-3x and this column is the
+    # per-language token-budget number
     docs = d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars_total")
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("bytes_total"),
     )
     tok = d.select(
         "lang", F.explode(_toks(F.col("text"))).alias("term")
@@ -424,7 +424,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 6).alias(
             "tokens_per_doc"
         ),
-        F.round(F.col("chars_total").cast("double") / F.col("n_tokens"), 6).alias(
+        F.round(F.col("bytes_total").cast("double") / F.col("n_tokens"), 6).alias(
             "bytes_per_token"
         ),
     )
@@ -432,7 +432,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TOKENIZER_FERTILITY = """
 WITH docs AS (
-  SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars_total
+  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(strlen(text)) AS BIGINT) AS bytes_total
   FROM documents GROUP BY lang
 ),
 tok AS (
@@ -450,7 +450,7 @@ SELECT d.lang, d.n_docs, t.n_tokens, t.n_types,
   ROUND(CAST(t.n_types AS DOUBLE) / t.n_tokens, 6) AS ttr,
   ROUND(CAST(t.token_chars AS DOUBLE) / t.n_tokens, 6) AS chars_per_token,
   ROUND(CAST(t.n_tokens AS DOUBLE) / d.n_docs, 6) AS tokens_per_doc,
-  ROUND(CAST(d.chars_total AS DOUBLE) / t.n_tokens, 6) AS bytes_per_token
+  ROUND(CAST(d.bytes_total AS DOUBLE) / t.n_tokens, 6) AS bytes_per_token
 FROM docs d JOIN toks t USING (lang)
 """
 

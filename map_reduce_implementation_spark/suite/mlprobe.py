@@ -227,7 +227,7 @@ def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     v_row = spark.range(1).select(
         F.array_repeat(F.lit(v0), DIM).alias("vl")
     )
-    norm_col = None
+    assert ITERS >= 1  # the loop must bind v_row's norm column
     for _ in range(ITERS):
         centered = e.crossJoin(F.broadcast(mu_row)).crossJoin(F.broadcast(v_row)).select(
             F.zip_with("v", "mu", lambda a, b: a - b).alias("c"), "vl"
@@ -266,8 +266,6 @@ def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
         v_row = u_row.select(
             F.transform("ul", lambda x: x / F.col("norm")).alias("vl"), "norm"
         ).localCheckpoint(eager=True)  # 1 row — truncates the replay chain
-        norm_col = True
-    assert norm_col  # ITERS >= 1
     return v_row.select(
         F.posexplode("vl").alias("pos", "pc1_raw"), F.col("norm")
     ).select(

@@ -355,6 +355,15 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     scale — Heaps' law), so the token stream is shuffled once (doc-keyed
     final agg), never term-keyed on the scoring side. No OOV mass is
     needed because the model and the scored corpus are the same."""
+    return unigram_avg_nll(spark, sf)
+
+
+def unigram_avg_nll(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared unigram-LM scorer → (doc_id, n_tokens, avg_nll). ONE
+    implementation (and one SQL CTE, ``SQL_UNIGRAM_NLL_CTE``) behind
+    both ``text_unigram_logprob`` and
+    ``curation3.q_perplexity_bucket_sample``, so the model, tokenizer
+    and determinism path cannot drift between the two arms."""
     d = table(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     ctf = tok.groupBy("term").agg(F.count("*").alias("ctf"))
@@ -371,17 +380,23 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_UNIGRAM_LOGPROB = """
+# the matching DuckDB CTE chain ending in nll(doc_id, n_tokens, avg_nll)
+SQL_UNIGRAM_NLL_CTE = """
 WITH tok AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
   FROM documents
 ),
 ctf AS (SELECT term, COUNT(*) AS ctf FROM tok GROUP BY term),
-total AS (SELECT CAST(SUM(ctf) AS BIGINT) AS t FROM ctf)
-SELECT tok.doc_id, COUNT(*) AS n_tokens,
-  ROUND(-SUM(ln(ctf.ctf / total.t)) / COUNT(*), 6) AS avg_nll
-FROM tok JOIN ctf ON tok.term = ctf.term CROSS JOIN total
-GROUP BY tok.doc_id
+total AS (SELECT CAST(SUM(ctf) AS BIGINT) AS t FROM ctf),
+nll AS (
+  SELECT tok.doc_id, COUNT(*) AS n_tokens,
+    ROUND(-SUM(ln(ctf.ctf / total.t)) / COUNT(*), 6) AS avg_nll
+  FROM tok JOIN ctf ON tok.term = ctf.term CROSS JOIN total
+  GROUP BY tok.doc_id
+)"""
+
+SQL_UNIGRAM_LOGPROB = SQL_UNIGRAM_NLL_CTE + """
+SELECT doc_id, n_tokens, avg_nll FROM nll
 """
 
 

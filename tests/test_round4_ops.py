@@ -131,3 +131,40 @@ def test_simhash_graded_hamming_bound(spark):
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert 0 <= r["hamming"] <= SH_MAX_HAMMING
+
+
+def test_gopher_gate_survives_zero_token_docs(spark, tmp_path):
+    """A doc with no [a-z0-9] tokens (pure punctuation — exactly what a
+    quality gate exists to drop) must yield NULL ratios and keep=false
+    in BOTH engines, not an ANSI DIVIDE_BY_ZERO (latent: the generated
+    corpora contain no such docs)."""
+    import duckdb
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "### !!! …", "en", "web", 9),
+            (2, "the and for with that this are was has not one data", "en", "web", 52),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    from map_reduce_implementation_spark.sources import invalidate
+
+    invalidate(spark, sf)
+    rows = {r["doc_id"]: r for r in QS["gopher_quality_gate"].build(spark, sf).collect()}
+    assert rows[1]["n_words"] == 0
+    assert rows[1]["mean_word_len"] is None
+    assert rows[1]["symbol_ratio"] is None
+    assert rows[1]["keep"] is False
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    orows = {
+        r[0]: r
+        for r in con.execute(QS["gopher_quality_gate"].oracle).fetchall()
+    }
+    cols = [d[0] for d in con.execute(QS["gopher_quality_gate"].oracle).description]
+    o1 = dict(zip(cols, orows[1]))
+    assert o1["mean_word_len"] is None and o1["symbol_ratio"] is None
+    assert bool(o1["keep"]) is False
+    invalidate(spark, sf)
