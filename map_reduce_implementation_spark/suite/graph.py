@@ -3,7 +3,9 @@
 The graph: one undirected edge per distinct (supplier, customer) pair
 that traded (lineitem ⋈ orders), emitted in both directions so every
 node has out-degree ≥ 1 (no dangling-mass correction needed). Customer
-nodes are offset by 1e6 to keep the id spaces disjoint.
+nodes are NEGATED (node = -custkey, custkey >= 1) so the two id
+spaces are disjoint at ANY scale factor — a fixed additive offset
+collides once supplier count outgrows it.
 
 The oracle is the SAME fixed-point iteration unrolled into one CTE per
 step (standard SQL cannot aggregate inside a recursive CTE, so the
@@ -22,7 +24,6 @@ from ..sources import table
 from .base import Query
 
 _ITERS = 3
-_CUST_OFFSET = 1_000_000
 
 
 def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
@@ -32,7 +33,7 @@ def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
             F.col("l_suppkey").alias("s"),
-            (F.col("o_custkey") + _CUST_OFFSET).alias("c"),
+            (-F.col("o_custkey")).alias("c"),
         )
         .distinct()
     )
@@ -71,7 +72,7 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
     chain = ",\n".join(steps)
     return f"""
 WITH pairs AS (
-  SELECT DISTINCT l.l_suppkey AS s, o.o_custkey + {_CUST_OFFSET} AS c
+  SELECT DISTINCT l.l_suppkey AS s, -o.o_custkey AS c
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
 edges AS (
@@ -152,9 +153,11 @@ def q_graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o1.dst").alias("v"),
         F.col("o2.dst").alias("w"),
     )
+    # the wedge join's o1.dst < o2.dst guarantees v < w, so (v, w) is
+    # already in canonical (lo, hi) order — close directly
     tri = wedges.join(
         edges,
-        (F.least("v", "w") == edges["lo"]) & (F.greatest("v", "w") == edges["hi"]),
+        (F.col("v") == edges["lo"]) & (F.col("w") == edges["hi"]),
     ).select("u", "v", "w")
     return (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node_id"))
@@ -187,7 +190,7 @@ wedges AS (
 ),
 tri AS (
   SELECT u, v, w FROM wedges w0
-  JOIN edges e ON e.lo = LEAST(w0.v, w0.w) AND e.hi = GREATEST(w0.v, w0.w)
+  JOIN edges e ON e.lo = w0.v AND e.hi = w0.w
 )
 SELECT node_id, COUNT(*) AS n_triangles FROM (
   SELECT u AS node_id FROM tri

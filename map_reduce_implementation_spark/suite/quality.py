@@ -7,9 +7,10 @@ before a 6-hour join does:
 
 - ``integrity_audit`` — orphan counts for every foreign-key edge of
   the star schema (child rows whose key misses the parent). Each edge
-  is a LEFT ANTI join with the parent side broadcast where dim-sized;
-  the fact-side scans prune to the key column, so the whole audit is
-  ~one column scan per edge.
+  is ONE left join against deduped parent keys (row count and orphan
+  count from the same aggregate), parent broadcast only where its
+  cardinality is SF-independent; the fact-side scans prune to the key
+  column, so the whole audit is one column scan per edge.
 - ``dataset_profile`` — per-column null count, exact distinct count,
   and numeric min/max over lineitem (the CBO-statistics shape of
   ANALYZE TABLE). One scan; each column's metrics aggregate in the
@@ -29,12 +30,18 @@ from ..sources import table
 from .base import Query
 
 # (edge name, child table, child key, parent table, parent key,
-#  parent is dim-sized → broadcast)
+#  parent is dim-sized → broadcast). "Dim-sized" means FIXED cardinality
+# regardless of scale factor (nation=25, region=5); part/supplier/
+# customer/orders all grow linearly with SF, and F.broadcast is a hard
+# hint Catalyst honors regardless of size — force-broadcasting an
+# SF-scaling table would OOM the audit at exactly the scale it exists
+# for. Their joins stay shuffles (or AQE picks broadcast at runtime
+# when the parent happens to be small).
 FK_EDGES = [
     ("orders->customer", "orders", "o_custkey", "customer", "c_custkey", False),
     ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
-    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey", True),
-    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey", False),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", False),
     ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
     ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
     ("nation->region", "nation", "n_regionkey", "region", "r_regionkey", True),
@@ -43,23 +50,35 @@ FK_EDGES = [
 
 def q_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """One row per FK edge: child row count and orphan count (child keys
-    absent from the parent). Dim-sized parents broadcast into the anti
-    join; the two fact-fact edges shuffle on the key, which is the join
-    the warehouse pays anyway. NULL child keys count as orphans — a
-    NULL FK fails the constraint."""
+    absent from the parent). ONE pass over each child per edge: a left
+    join against the deduped parent keys with a hit flag yields row
+    count and orphan count from the same aggregate (the earlier
+    anti-join + separate count formulation scanned every child twice).
+    The distinct() on parent keys is kept deliberately — it makes the
+    row count robust even when the parent's "primary key" is itself
+    corrupt with duplicates, which is precisely the load-state this
+    audit exists to catch. Fixed-size dims broadcast; SF-scaling
+    parents shuffle on the key, which is the join the warehouse pays
+    anyway. NULL child keys count as orphans — a NULL FK fails the
+    constraint (a NULL equi-join key never matches)."""
     parts = []
     for name, child, ckey, parent, pkey, dim in FK_EDGES:
         c = table(spark, sf, child).select(F.col(ckey).alias("k"))
-        p = table(spark, sf, parent).select(F.col(pkey).alias("k")).distinct()
+        p = (
+            table(spark, sf, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
         if dim:
             p = F.broadcast(p)
-        orphans = c.join(p, "k", "left_anti").agg(
-            F.count(F.lit(1)).alias("n_orphans")
-        )
-        rows = c.agg(F.count(F.lit(1)).alias("n_child_rows"))
         parts.append(
-            rows.crossJoin(orphans).select(
-                F.lit(name).alias("fk_edge"), "n_child_rows", "n_orphans"
+            c.join(p, "k", "left").agg(
+                F.lit(name).alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.sum(
+                    F.when(F.col("hit").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)

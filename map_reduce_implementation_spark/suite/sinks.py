@@ -22,7 +22,9 @@ sinks (partitioned/bucketed/Z-ordered writes) live in
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,13 +33,28 @@ from pyspark.sql import functions as F
 from ..sources import table
 from .base import Query
 
+# scratch dirs created this process, removed at exit: a fresh dir per
+# build is required for race-freedom (below), but without cleanup every
+# build leaks a table snapshot into /tmp for the machine's lifetime
+_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
+
 
 def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # a FRESH directory per build: a fixed path keyed by sf basename
     # would race under concurrent builds (bench + tests, or two data
     # roots sharing a basename) — overwrite deletes the part file a
-    # previously-built lazy DataFrame still points at
+    # previously-built lazy DataFrame still points at. Removed at
+    # process exit (the read-back DataFrame is only consumed in-session)
     out = tempfile.mkdtemp(prefix="spark_graft_sink_")
+    _SCRATCH_DIRS.append(out)
     snap = table(spark, sf, "documents").select(
         "doc_id", "lang", F.md5("text").alias("text_md5")
     )

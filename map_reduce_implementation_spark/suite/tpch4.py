@@ -56,9 +56,13 @@ def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # no hard broadcast hints on part/supplier: both scale linearly with
+    # SF (200k·SF / 10k·SF rows), and F.broadcast is honored regardless
+    # of size — AQE still picks broadcast at runtime while they fit;
+    # only the fixed-size nation/region dims are hinted above
     cost = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(dec("l_extendedprice")).alias("cost_dec"))
     )
