@@ -39,26 +39,38 @@ over declarative join+agg steps, NOT a driver-side loop over rows.
 
 from __future__ import annotations
 
-from weakref import WeakKeyDictionary
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Per-session memo of the loop-invariant PageRank state, keyed by the
-# edge list's ANALYZED PLAN string (two builds of the same logical edges
-# hit the same entry, mirroring sources.tables.table's plan memo). Held
-# deliberately: repeat callers on the same graph (re-runs, damping
-# sweeps, benchmarks) would otherwise rebuild the co-partitioned cached
-# edge list every call — measured 6.0 s vs 2.0 s warm at sf0.1. The
-# memo assumes STATIC edges per plan within a session; storage is
-# spillable, survives spark.catalog.clearCache() via lazy re-cache, and
-# is released explicitly with ``pagerank_release(spark)``.
-_PR_STATE: WeakKeyDictionary = WeakKeyDictionary()
+# Per-session memo of the loop-invariant PageRank state. Lookup uses
+# the analyzed plan's ``sameResult`` (the exact equivalence Spark's own
+# cache manager uses): it normalizes expression IDs, so two independent
+# builds of the same logical edges (re-runs, damping sweeps, benchmarks
+# — which rebuild the DataFrame every call) hit the same entry, while
+# plans over different DATA never conflate (a canonicalized-toString
+# key would collide two in-memory relations with the same schema — the
+# string omits LocalRelation data; the raw analyzed string used before
+# that embedded fresh expr IDs and never hit at all). Python-local
+# DataFrames (createDataFrame) wrap a fresh RDD per build and always
+# MISS — the safe direction; hits serve the table/file-backed edges
+# the suite and bench actually rebuild. Held
+# deliberately: a miss rebuilds the co-partitioned cached edge list —
+# measured 6.0 s vs 2.0 s warm at sf0.1. The memo assumes STATIC edges
+# per plan within a session; storage is spillable, survives
+# spark.catalog.clearCache() via lazy re-cache, is LRU-capped at
+# _PR_MEMO_CAP distinct graphs (evicted entries unpersist — the
+# sameResult scan is over at most that many plans), and is released
+# explicitly with ``pagerank_release(spark)``. A plain dict keyed by
+# session, not a WeakKeyDictionary: the cached DataFrames hold strong
+# references to their session anyway (weak keys would never collect),
+# and a stopped session's executor storage dies with its JVM.
+_PR_STATE: dict = {}
+_PR_MEMO_CAP = 4
 
 
 def pagerank_release(spark) -> None:
     """Unpersist all memoized PageRank edge state for this session."""
-    for deg, wedges, _ in _PR_STATE.pop(spark, {}).values():
+    for _, deg, wedges, _n in _PR_STATE.pop(spark, []):
         deg.unpersist()
         wedges.unpersist()
 
@@ -73,9 +85,13 @@ def pagerank(
 
     Every node is expected to appear as a ``src`` at least once (no
     dangling mass) — callers with undirected graphs get this for free
-    by emitting both edge directions. Returns ``DataFrame[node, pr]``
-    with ``sum(pr) == 1`` up to float error, materialized (the
-    iterative job has already run when this returns).
+    by emitting both edge directions. Nodes with zero IN-degree are
+    fine: the per-iteration aggregate runs over the full node spine
+    (zero-contribution rows unioned in), so they keep their teleport
+    rank and keep contributing instead of silently dropping out of the
+    vector. Returns ``DataFrame[node, pr]`` with ``sum(pr) == 1`` up
+    to float error, materialized (the iterative job has already run
+    when this returns). An empty edge list returns an empty result.
     """
     spark = edges.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -83,11 +99,21 @@ def pagerank(
     # deg is node-sized (one row per vertex) — cached so n_nodes and the
     # rank init read materialized rows instead of re-running the edge
     # upstream (a join+distinct pipeline for the suite's trade graph).
-    plan_key = edges._jdf.queryExecution().analyzed().toString()
-    per_session = _PR_STATE.setdefault(spark, {})
-    if plan_key not in per_session:
+    plan = edges._jdf.queryExecution().analyzed()
+    entries = _PR_STATE.setdefault(spark, [])  # list of (plan, deg, wedges, n)
+    hit = None
+    for i, entry in enumerate(entries):
+        if plan.sameResult(entry[0]):
+            hit = entries.pop(i)  # LRU touch: re-append below
+            break
+    if hit is None:
         deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
         n_nodes = deg.count()  # one scalar to driver; ranks never collect
+        if n_nodes == 0:
+            deg.unpersist()
+            return edges.select(
+                F.col("src").alias("node"), F.lit(0.0).alias("pr")
+            ).limit(0)
         wedges = (
             edges.join(deg, "src")
             .select("src", "dst", "outdeg")
@@ -95,8 +121,13 @@ def pagerank(
             .sortWithinPartitions("src")
             .cache()
         )
-        per_session[plan_key] = (deg, wedges, n_nodes)
-    deg, wedges, n_nodes = per_session[plan_key]
+        if len(entries) >= _PR_MEMO_CAP:  # LRU eviction, oldest first
+            _, odeg, owedges, _n = entries.pop(0)
+            odeg.unpersist()
+            owedges.unpersist()
+        hit = (plan, deg, wedges, n_nodes)
+    entries.append(hit)
+    _, deg, wedges, n_nodes = hit
     # spark.catalog.clearCache() deregisters cached plans entirely —
     # re-cache on miss so a memo hit after a cache flush still runs the
     # loop against materialized, co-partitioned edges.
@@ -114,12 +145,19 @@ def pagerank(
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        # node spine with zero contribution, unioned into every
+        # iteration's aggregate: a node nobody links to would otherwise
+        # vanish from the rank vector after iteration 1 (losing its own
+        # outgoing mass with it). The union adds |V| rows to the ONE
+        # shuffle the iteration already pays — no extra join.
+        zeros = deg.select(F.col("src").alias("dst"), F.lit(0.0).alias("w"))
         for i in range(iterations):
             contrib = wedges.join(pr, wedges["src"] == pr["node"]).select(
                 "dst", (F.col("pr") / F.col("outdeg")).alias("w")
             )
             pr = (
-                contrib.groupBy("dst")
+                contrib.unionAll(zeros)
+                .groupBy("dst")
                 .agg((F.lit(base) + F.lit(damping) * F.sum("w")).alias("pr"))
                 .select(F.col("dst").alias("node"), "pr")
             )

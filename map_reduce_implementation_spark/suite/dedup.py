@@ -412,7 +412,11 @@ def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
     mut = (
         base.filter(F.col("doc_id") % 11 == 0)
         .select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            # negated ids (doc 0 -> -1): disjoint from real non-negative
+            # doc_ids at ANY corpus size — an additive offset collides
+            # once the corpus outgrows it (same fix as suite/graph.py's
+            # customer nodes)
+            (-F.col("doc_id") - 1).alias("doc_id"),
             "lang",
             F.replace(F.col("text"), F.lit(" data "), F.lit(" dataa ")).alias(
                 "text"
@@ -447,7 +451,7 @@ SQL_DEDUP_FUZZY_LEVENSHTEIN = """
 WITH aug AS (
   SELECT doc_id, lang, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, lang, replace(text, ' data ', ' dataa ')
+  SELECT -doc_id - 1, lang, replace(text, ' data ', ' dataa ')
   FROM documents WHERE doc_id % 11 = 0
 ),
 d AS (

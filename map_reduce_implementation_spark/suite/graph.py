@@ -59,14 +59,17 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
     for k in range(1, iters + 1):
         steps.append(
             f"""pr{k} AS (
-  SELECT t.node, (1.0 - 0.85) / n.n_nodes + 0.85 * t.s AS pr
-  FROM (
+  SELECT d0.src AS node,
+    (1.0 - 0.85) / n.n_nodes + 0.85 * COALESCE(t.s, 0.0) AS pr
+  FROM deg d0
+  LEFT JOIN (
     SELECT e.dst AS node, SUM(p.pr / d.outdeg) AS s
     FROM edges e
     JOIN pr{k - 1} p ON e.src = p.node
     JOIN deg d ON e.src = d.src
     GROUP BY e.dst
-  ) t CROSS JOIN n
+  ) t ON d0.src = t.node
+  CROSS JOIN n
 )"""
         )
     chain = ",\n".join(steps)

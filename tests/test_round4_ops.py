@@ -168,3 +168,27 @@ def test_gopher_gate_survives_zero_token_docs(spark, tmp_path):
     assert o1["mean_word_len"] is None and o1["symbol_ratio"] is None
     assert bool(o1["keep"]) is False
     invalidate(spark, sf)
+
+
+def test_pagerank_zero_indegree_and_empty_graph(spark):
+    """Nodes nobody links to keep their teleport rank (the vector spine
+    union), sum(pr) stays 1, an empty edge list returns empty, and the
+    session memo never conflates different in-memory graphs."""
+    from map_reduce_implementation_spark.operators.graph import (
+        pagerank,
+        pagerank_release,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], "src long, dst long")
+    rows = {r["node"]: r["pr"] for r in pagerank(e, iterations=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+    assert abs(rows[3] - 0.05) < 1e-9  # teleport-only rank, d=0.85, n=3
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
+
+    other = spark.createDataFrame([(7, 8), (8, 7)], "src long, dst long")
+    got = {r["node"] for r in pagerank(other, iterations=1).collect()}
+    assert got == {7, 8}  # not conflated with the 3-node graph's memo
+    pagerank_release(spark)
