@@ -108,6 +108,8 @@ HEADLINE = [
     "similarity_ann_pq_recall",
     "tokenizer_bpe_train",
     "dedup_span_removal",
+    # round-4 wave 4: HLL graded twin
+    "hll_distinct_graded",
 ]
 
 

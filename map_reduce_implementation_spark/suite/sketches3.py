@@ -1,6 +1,7 @@
-"""Hash-graded twins of the three remaining rows-only sketch arms
-(EXT; round 4): MinHash-LSH, SimHash, and winnowing fingerprints with
-engine-reproducible parameters and FULL DuckDB oracles.
+"""Hash-graded twins of the remaining rows-only sketch arms (EXT;
+round 4): MinHash-LSH, SimHash, winnowing fingerprints, and a
+HyperLogLog distinct counter with engine-reproducible parameters and
+FULL DuckDB oracles.
 
 The production arms (``operators/dedup.py``, ``operators/text_fp.py``)
 use numpy-vectorized kernels whose hash families are engine-specific,
@@ -357,8 +358,132 @@ SELECT DISTINCT doc_id, fp, CAST(fp_pos AS INTEGER) AS fp_pos FROM sel WHERE rk 
 """
 
 
+# --- HyperLogLog (graded): p=8 -> 256 registers, md5-derived hash ---
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+# Flajolet et al. 2007 bias constant for m >= 128; computed ONCE in
+# Python and inlined as the same repr-literal into both engines, so
+# each side performs exactly one IEEE division on identical doubles.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M
+
+
+def q_hll_distinct_graded(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-user count per event type, fully
+    hash-verified — the graded twin of the rows-only
+    ``approx_distinct_rollup`` arm, completing the sketch family
+    (CMS, Bloom, GK/percentile, MinHash, SimHash, winnowing all have
+    graded twins; HLL was the last rows-only-only sketch).
+
+    Engine-reproducible layout (Flajolet et al. 2007): h = md5 of the
+    user id; register index = first 8 hash bits; rho = position of the
+    leftmost 1-bit of the next 32 bits (33 if all zero), computed as
+    33 - bit_length via integer base-2 string conversion — NO float
+    log, so both engines agree exactly. The estimate
+    alpha·m²/Σ 2^-M[j] stays bit-deterministic because every addend is
+    an exact power of two (1.0 / (1 << M), never libm pow): the sum of
+    ≤256 multiples of 2^-33 bounded by 256 needs 41 mantissa bits < 53,
+    so it is EXACT in double regardless of accumulation order — the
+    one property that lets a float estimate survive the value hash.
+    Small-range correction (the paper's E ≤ 2.5m branch) switches to
+    linear counting m·ln(m/V) over the V zero registers; the branch
+    predicate compares bit-identical doubles so both engines take the
+    same arm, and the single ln follows the suite's precedent of
+    trusting both libms on identical inputs (curation4 char entropy).
+
+    Scale: NO distinct pre-aggregation — max(rho) is idempotent under
+    duplicates, which is HLL's entire point. One uniform
+    (type, register)-keyed shuffle with map-side combine collapses the
+    raw event stream to ≤ types×256 cells; registers merge across
+    corpora by MAX (mergeability is what `approx_count_distinct`
+    exploits too). The exact COUNT DISTINCT column exists only to
+    exhibit the error and costs one pair-distinct shuffle the sketch
+    itself never needs. Reference has no sketches (SURVEY §2 — EXT).
+    """
+    e = table(spark, sf, "events")
+    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+    x = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    rho = F.when(x == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(x.cast("string"), 10, 2))
+    )
+    regs = (
+        e.select(
+            "event_type",
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("observed_buckets"),
+        F.sum(
+            F.lit(1.0)
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), mreg) AS DOUBLE)")
+        ).alias("s_obs"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    raw = F.lit(HLL_NUMERATOR) / (
+        F.col("s_obs") + (F.lit(HLL_M) - F.col("observed_buckets"))
+    )
+    zeros = F.lit(HLL_M) - F.col("observed_buckets")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            "observed_buckets",
+            F.round(corrected, 4).alias("hll_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_HLL_DISTINCT_GRADED = f"""
+WITH h AS (
+  SELECT event_type,
+    ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 2))::INT AS bucket,
+    ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 3, 8))::BIGINT AS x
+  FROM events
+),
+regs AS (
+  SELECT event_type, bucket,
+    MAX(CASE WHEN x = 0 THEN 33 ELSE 33 - length(to_base(x, 2)) END) AS mreg
+  FROM h GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS observed_buckets,
+    SUM(CAST(1 AS DOUBLE) / CAST((1::BIGINT << mreg) AS DOUBLE)) AS s_obs
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+),
+est AS (
+  SELECT event_type, observed_buckets,
+    {HLL_NUMERATOR!r} / (s_obs + ({HLL_M} - observed_buckets)) AS raw,
+    {HLL_M} - observed_buckets AS zeros
+  FROM agg
+)
+SELECT e.event_type, ex.exact_distinct, e.observed_buckets,
+  ROUND(CASE WHEN e.raw <= {2.5 * HLL_M!r} AND e.zeros > 0
+             THEN CAST({HLL_M} AS DOUBLE) * ln(CAST({HLL_M} AS DOUBLE) / e.zeros)
+             ELSE e.raw END, 4) AS hll_estimate
+FROM est e JOIN ex USING (event_type)
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
     "dedup_minhash_graded": Query(q_dedup_minhash_graded, SQL_DEDUP_MINHASH_GRADED),
     "dedup_simhash_graded": Query(q_dedup_simhash_graded, SQL_DEDUP_SIMHASH_GRADED),
     "text_winnow_graded": Query(q_text_winnow_graded, SQL_TEXT_WINNOW_GRADED),
+    "hll_distinct_graded": Query(q_hll_distinct_graded, SQL_HLL_DISTINCT_GRADED),
 }

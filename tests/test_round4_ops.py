@@ -192,3 +192,17 @@ def test_pagerank_zero_indegree_and_empty_graph(spark):
     got = {r["node"] for r in pagerank(other, iterations=1).collect()}
     assert got == {7, 8}  # not conflated with the 3-node graph's memo
     pagerank_release(spark)
+
+
+def test_hll_estimate_within_expected_error(spark):
+    """HLL with m=256 registers has relative standard error
+    1.04/sqrt(256) ~= 6.5%; assert every per-type estimate lands within
+    4 sigma of the exact distinct count, and the register/bucket
+    accounting stays inside the sketch's bounds."""
+    rows = QS["hll_distinct_graded"].build(spark, SF0001).collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert 0 < r["observed_buckets"] <= 256, r
+        assert r["hll_estimate"] > 0, r
+        rel = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 4 * 1.04 / 16, r
