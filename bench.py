@@ -108,8 +108,9 @@ HEADLINE = [
     "similarity_ann_pq_recall",
     "tokenizer_bpe_train",
     "dedup_span_removal",
-    # round-4 wave 4: HLL graded twin
+    # round-4 wave 4: HLL graded twin + MaxSim late interaction
     "hll_distinct_graded",
+    "similarity_maxsim_topk",
 ]
 
 

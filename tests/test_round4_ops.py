@@ -206,3 +206,21 @@ def test_hll_estimate_within_expected_error(spark):
         assert r["hll_estimate"] > 0, r
         rel = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
         assert rel < 4 * 1.04 / 16, r
+
+
+def test_maxsim_rank_and_bound_invariants(spark):
+    """MaxSim is a sum of 4 per-token max-cosines: every score lies in
+    [-4, 4], each query doc gets exactly 5 candidates ranked 1..5 with
+    non-increasing scores, and no query retrieves itself."""
+    rows = QS["similarity_maxsim_topk"].build(spark, SF0001).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_mdoc"], []).append(r)
+        assert -4.0 <= r["maxsim_score"] <= 4.0, r
+        assert r["c_mdoc"] != r["q_mdoc"], r
+    assert len(by_q) == 3
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        scores = [r["maxsim_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True), (q, scores)
