@@ -208,6 +208,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # + 2 = 46 <= 50)
     "hll_distinct_graded",
     "similarity_maxsim_topk",
+    "dedup_minhash_jaccard_est",
 )
 
 

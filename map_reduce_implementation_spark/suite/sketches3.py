@@ -368,6 +368,28 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M
 
 
+def hll_registers(df: DataFrame, group_col: str, value) -> DataFrame:
+    """(group, bucket, mreg) HLL register table for ``value`` within
+    each group — the mergeable sketch state: registers of a UNION of
+    corpora are the bucket-wise MAX of each corpus's registers
+    (asserted in tests/test_round4_ops.py). Shared by the graded query
+    so the merge property is tested against the production layout."""
+    h = F.md5(F.concat(F.lit("hll|"), value.cast("string")))
+    x = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    rho = F.when(x == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(x.cast("string"), 10, 2))
+    )
+    return (
+        df.select(
+            group_col,
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("mreg"))
+    )
+
+
 def q_hll_distinct_graded(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog distinct-user count per event type, fully
     hash-verified — the graded twin of the rows-only
@@ -401,20 +423,7 @@ def q_hll_distinct_graded(spark: SparkSession, sf: str) -> DataFrame:
     itself never needs. Reference has no sketches (SURVEY §2 — EXT).
     """
     e = table(spark, sf, "events")
-    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
-    x = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
-    rho = F.when(x == 0, F.lit(33)).otherwise(
-        F.lit(33) - F.length(F.conv(x.cast("string"), 10, 2))
-    )
-    regs = (
-        e.select(
-            "event_type",
-            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
-            rho.alias("rho"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rho").alias("mreg"))
-    )
+    regs = hll_registers(e, "event_type", F.col("user_id"))
     agg = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("observed_buckets"),
         F.sum(
@@ -481,9 +490,192 @@ ORDER BY event_type
 """
 
 
+AUDIT_DOCS = 200  # calibration sample: all docs with doc_id < 200
+
+
+def q_dedup_minhash_jaccard_est(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-accuracy audit for MinHash: for every LSH candidate pair,
+    the signature-agreement Jaccard estimate (matching slots / 16)
+    next to the EXACT token-set Jaccard and the absolute error — the
+    same evidence upgrade the ANN arms got from recall@k: the sketch
+    doesn't just emit candidates, its estimation error is measured and
+    hash-verified. E[matching/perms] = J is the MinHash identity
+    (Broder 1997); with 16 perms the audit exhibits the +-1/sqrt(16)
+    noise band the production 128-perm arm shrinks 2.8x further.
+
+    Determinism: matching-slot count and inter/union sizes are
+    integers; est = k/16 is an exact dyadic double; exact_jaccard is
+    one correctly-rounded division — nothing in the output depends on
+    accumulation order.
+
+    Plan: a calibration job measures estimator error on a bounded
+    deterministic sample, never on every candidate (the 4-band unigram
+    twin is deliberately permissive — its candidate count is
+    cluster-quadratic, 6M+ at sf0.1, which is fine for its own
+    dedup purpose but not for an audit join). The sample here is the
+    doc_id < AUDIT_DOCS prefix, a predicate that PUSHES DOWN to the
+    parquet scan — signatures, bands, the band self-join and both
+    posting-list joins all run on the 200-doc sample, so audit cost is
+    O(sample), independent of corpus size. Candidate pairs within the
+    sample come from the SAME band-join shape as
+    ``dedup_minhash_graded``."""
+    d = table(spark, sf, "documents").filter(F.col("doc_id") < AUDIT_DOCS)
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
+    )
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sig = dt.groupBy("doc_id").agg(
+        *[
+            F.min(_mh_hash(i, F.col("term"))).alias(f"h{i}")
+            for i in range(MH_PERMS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * MH_ROWS + r}").cast("string")
+                                for r in range(MH_ROWS)
+                            ],
+                        )
+                    )
+                    for b in range(MH_BANDS)
+                ]
+            )
+        ).alias("band", "bsig"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MH_PERMS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MH_PERMS)],
+    )
+    matching = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MH_PERMS)
+    )
+    est = sa.join(F.broadcast(pairs), "doc_a").join(
+        sb, "doc_b"
+    ).select("doc_a", "doc_b", matching.alias("k"))
+    pt = dt.join(F.broadcast(pairs), dt.doc_id == pairs.doc_a).select(
+        "doc_a", "doc_b", "term"
+    )
+    dtb = dt.select(F.col("doc_id").alias("db"), F.col("term").alias("tb"))
+    inter = (
+        pt.join(dtb, (pt.doc_b == dtb.db) & (pt.term == dtb.tb))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"])
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("k").cast("double") / F.lit(float(MH_PERMS))).alias("est_jaccard"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                9,
+            ).alias("exact_jaccard"),
+            F.round(
+                F.abs(
+                    F.col("k").cast("double") / F.lit(float(MH_PERMS))
+                    - F.col("inter").cast("double")
+                    / (F.col("sza") + F.col("szb") - F.col("inter"))
+                ),
+                9,
+            ).alias("abs_err"),
+        )
+    )
+
+
+SQL_DEDUP_MINHASH_JACCARD_EST = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+  FROM documents WHERE doc_id < {AUDIT_DOCS}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+sig AS (
+  SELECT doc_id,
+    {", ".join(f"MIN({_sql_mh_hash(i, 'term')}) AS h{i}" for i in range(MH_PERMS))}
+  FROM dt GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band,
+    CASE b.band
+      {" ".join(
+        "WHEN {b} THEN md5({expr})".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"CAST(h{b * MH_ROWS + r} AS VARCHAR)" for r in range(MH_ROWS)
+            ),
+        )
+        for b in range(MH_BANDS)
+      )}
+    END AS bsig
+  FROM sig, (SELECT unnest(range({MH_BANDS})) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+    {" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(MH_PERMS))} AS k
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN dt ta ON ta.doc_id = p.doc_a
+  JOIN dt tb ON tb.doc_id = p.doc_b AND tb.term = ta.term
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+  CAST(e.k AS DOUBLE) / {float(MH_PERMS)!r} AS est_jaccard,
+  ROUND(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 9) AS exact_jaccard,
+  ROUND(abs(CAST(e.k AS DOUBLE) / {float(MH_PERMS)!r}
+            - CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i)), 9) AS abs_err
+FROM est e
+JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes za ON za.doc_id = e.doc_a
+JOIN sizes zb ON zb.doc_id = e.doc_b
+"""
+
+
 QUERIES: dict[str, Query] = {
     "dedup_minhash_graded": Query(q_dedup_minhash_graded, SQL_DEDUP_MINHASH_GRADED),
     "dedup_simhash_graded": Query(q_dedup_simhash_graded, SQL_DEDUP_SIMHASH_GRADED),
     "text_winnow_graded": Query(q_text_winnow_graded, SQL_TEXT_WINNOW_GRADED),
     "hll_distinct_graded": Query(q_hll_distinct_graded, SQL_HLL_DISTINCT_GRADED),
+    "dedup_minhash_jaccard_est": Query(
+        q_dedup_minhash_jaccard_est, SQL_DEDUP_MINHASH_JACCARD_EST
+    ),
 }

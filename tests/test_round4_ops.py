@@ -224,3 +224,43 @@ def test_maxsim_rank_and_bound_invariants(spark):
         assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
         scores = [r["maxsim_score"] for r in rs]
         assert scores == sorted(scores, reverse=True), (q, scores)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The 100 TB mergeability claim, exercised: HLL registers built on
+    two disjoint halves of the event stream, merged by bucket-wise MAX,
+    must equal the registers built on the full stream in one pass."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_implementation_spark.sources import table
+    from map_reduce_implementation_spark.suite.sketches3 import hll_registers
+
+    e = table(spark, SF0001, "events")
+    full = hll_registers(e, "event_type", F.col("user_id"))
+    half_a = hll_registers(
+        e.filter(F.col("event_id") % 2 == 0), "event_type", F.col("user_id")
+    )
+    half_b = hll_registers(
+        e.filter(F.col("event_id") % 2 == 1), "event_type", F.col("user_id")
+    )
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("mreg").alias("mreg"))
+    )
+    key = lambda rows: sorted((r["event_type"], r["bucket"], r["mreg"]) for r in rows)
+    assert key(merged.collect()) == key(full.collect())
+
+
+def test_minhash_jaccard_est_identity_invariants(spark):
+    """MinHash identity checks: estimates are multiples of 1/16 in
+    [0,1]; identical token sets (exact Jaccard 1.0) force identical
+    signatures, so the estimate must be exactly 1.0 there."""
+    rows = QS["dedup_minhash_jaccard_est"].build(spark, SF0001).collect()
+    assert rows, "no candidate pairs"
+    for r in rows:
+        k = r["est_jaccard"] * 16
+        assert abs(k - round(k)) < 1e-9 and 0.0 <= r["est_jaccard"] <= 1.0, r
+        assert 0.0 <= r["exact_jaccard"] <= 1.0, r
+        if r["exact_jaccard"] == 1.0:
+            assert r["est_jaccard"] == 1.0, r
