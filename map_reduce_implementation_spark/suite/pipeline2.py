@@ -85,6 +85,24 @@ def _cms_bucket(depth: int, term) -> F.Column:
     return _md5_bucket(f"{depth}|", term, CMS_WIDTH)
 
 
+def cms_cells(term_counts: DataFrame) -> DataFrame:
+    """(d, bucket, cnt) count-min cells from a (term, exact_cnt) count
+    table — the mergeable sketch state: cells of a UNION of corpora are
+    the cell-wise SUM of each corpus's cells (asserted in
+    tests/test_round4_ops.py). Shared by the graded query so the merge
+    property is tested against the production layout."""
+    return (
+        term_counts.select(
+            "exact_cnt",
+            F.posexplode(
+                F.array(*[_cms_bucket(i, F.col("term")) for i in range(CMS_DEPTH)])
+            ).alias("d", "bucket"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("exact_cnt").alias("cnt"))
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min-sketch heavy hitters: the mergeable frequency sketch
     (4 rows × 1024 buckets) next to HLL (approx_distinct) and GK
@@ -108,16 +126,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
     tok = d.select(F.explode(_tokens(F.col("text"))).alias("term"))
     term_counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    cells = (
-        term_counts.select(
-            "exact_cnt",
-            F.posexplode(
-                F.array(*[_cms_bucket(i, F.col("term")) for i in range(CMS_DEPTH)])
-            ).alias("d", "bucket"),
-        )
-        .groupBy("d", "bucket")
-        .agg(F.sum("exact_cnt").alias("cnt"))
-    )
+    cells = cms_cells(term_counts)
     exact = term_counts.orderBy(F.col("exact_cnt").desc(), "term").limit(20)
     probes = exact.select(
         "term",

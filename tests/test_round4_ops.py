@@ -264,3 +264,33 @@ def test_minhash_jaccard_est_identity_invariants(spark):
         assert 0.0 <= r["exact_jaccard"] <= 1.0, r
         if r["exact_jaccard"] == 1.0:
             assert r["est_jaccard"] == 1.0, r
+
+
+def test_cms_cells_merge_by_sum(spark):
+    """CMS mergeability, exercised: cells built on two disjoint halves
+    of the corpus, merged by cell-wise SUM, must equal the cells built
+    on the full corpus in one pass."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_implementation_spark.functions import tokens as _tokens
+    from map_reduce_implementation_spark.sources import table
+    from map_reduce_implementation_spark.suite.pipeline2 import cms_cells
+
+    d = table(spark, SF0001, "documents")
+
+    def counts(df):
+        return (
+            df.select(F.explode(_tokens(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        )
+
+    full = cms_cells(counts(d))
+    merged = (
+        cms_cells(counts(d.filter(F.col("doc_id") % 2 == 0)))
+        .unionByName(cms_cells(counts(d.filter(F.col("doc_id") % 2 == 1))))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    key = lambda rows: sorted((r["d"], r["bucket"], r["cnt"]) for r in rows)
+    assert key(merged.collect()) == key(full.collect())
