@@ -203,9 +203,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dataset_split",
     "text_char_entropy",
     "join_skew_audit",
-    # round-4 wave 4 — HLL graded twin + MaxSim late interaction;
-    # still after every older unchecked entry (window: 44 backlog
-    # + 2 = 46 <= 50)
+    # round-4 wave 4 — HLL graded twin, MaxSim late interaction,
+    # MinHash accuracy audit; still after every older unchecked entry
+    # (window: 44 backlog + 3 = 47 <= 50)
     "hll_distinct_graded",
     "similarity_maxsim_topk",
     "dedup_minhash_jaccard_est",

@@ -211,13 +211,15 @@ def test_hll_estimate_within_expected_error(spark):
 def test_maxsim_rank_and_bound_invariants(spark):
     """MaxSim is a sum of 4 per-token max-cosines: every score lies in
     [-4, 4], each query doc gets exactly 5 candidates ranked 1..5 with
-    non-increasing scores, and no query retrieves itself."""
+    non-increasing scores, and candidates come only from the corpus
+    side of the split (mdoc >= 3 — queries are mdocs 0-2, so a
+    candidate below 3 would mean the query/corpus split leaked)."""
     rows = QS["similarity_maxsim_topk"].build(spark, SF0001).collect()
     by_q = {}
     for r in rows:
         by_q.setdefault(r["q_mdoc"], []).append(r)
         assert -4.0 <= r["maxsim_score"] <= 4.0, r
-        assert r["c_mdoc"] != r["q_mdoc"], r
+        assert r["c_mdoc"] >= 3 > r["q_mdoc"], r
     assert len(by_q) == 3
     for q, rs in by_q.items():
         rs.sort(key=lambda r: r["rank"])
