@@ -209,6 +209,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_distinct_graded",
     "similarity_maxsim_topk",
     "dedup_minhash_jaccard_est",
+    "dedup_fuzzy_clusters",
 )
 
 

@@ -495,6 +495,77 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
 _CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
 
 
+def q_dedup_fuzzy_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """The production fuzzy-dedup pipeline END-TO-END (the
+    RefinedWeb/Pile recipe): shingle candidates → exact-Jaccard
+    verification (J ≥ 0.5, same pairs as ``dedup_ngram_jaccard``) →
+    connected components → keeper = the cluster's minimum doc_id. The
+    sibling ``dedup_clusters`` groups EXACT duplicates, whose
+    components are cliques with a closed-form oracle; here edges are
+    near-dup pairs, so components are genuine graphs and the oracle is
+    a recursive CTE computing each doc's minimum reachable id over the
+    symmetric edge set — the iterative Spark loop
+    (operators/dedup.py::connected_components, min-label propagation
+    with localCheckpoint lineage truncation) is hash-verified against
+    a true fixpoint, not a shortcut.
+
+    Scale: pair generation is the capped-posting-list shape (uncapped
+    here so the oracle's plain self-join matches exactly — production
+    uses max_df); CC moves O(edges) rows per round and dedup graphs
+    are near-cliques, converging in 2-3 rounds. Every doc appears in
+    the output (singletons keep themselves) — the full keep/drop
+    decision a curation pipeline consumes downstream."""
+    from ..operators.dedup import connected_components, jaccard_pairs
+
+    pairs = jaccard_pairs(_shingles(spark, sf, 5), threshold=0.5, max_df=None)
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    nodes = table(spark, sf, "documents").select(F.col("doc_id").alias("node"))
+    cc = connected_components(edges, nodes)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_kept"),
+    )
+
+
+SQL_DEDUP_FUZZY_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS shingle
+  FROM toks, range(1, 100000) r(i)
+  WHERE i + 4 <= len(ts)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+p0 AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b
+  FROM p0
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(node, anc) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.node, s.b
+  FROM reach r JOIN sym s ON s.a = r.anc
+)
+SELECT node AS doc_id, MIN(anc) AS cluster_id,
+  (node = MIN(anc)) AS is_kept
+FROM reach GROUP BY node
+"""
+
+
 QUERIES: dict[str, Query] = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_semantic": Query(q_dedup_semantic, None),
@@ -511,4 +582,5 @@ QUERIES: dict[str, Query] = {
     "dedup_simhash": Query(q_dedup_simhash, None),
     "dedup_embedding_cosine": Query(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "dedup_semantic_graded": Query(q_dedup_semantic_graded, SQL_DEDUP_SEMANTIC_GRADED),
+    "dedup_fuzzy_clusters": Query(q_dedup_fuzzy_clusters, SQL_DEDUP_FUZZY_CLUSTERS),
 }

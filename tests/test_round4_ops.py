@@ -296,3 +296,23 @@ def test_cms_cells_merge_by_sum(spark):
     )
     key = lambda rows: sorted((r["d"], r["bucket"], r["cnt"]) for r in rows)
     assert key(merged.collect()) == key(full.collect())
+
+
+def test_fuzzy_clusters_consistency(spark):
+    """CC postconditions: every doc appears exactly once, both ends of
+    every verified near-dup pair land in the same cluster, cluster id
+    is the minimum member id, and is_kept marks exactly that member."""
+    rows = QS["dedup_fuzzy_clusters"].build(spark, SF0001).collect()
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert len(by_doc) == len(rows)
+    pairs = QS["dedup_ngram_jaccard"].build(spark, SF0001).collect()
+    assert pairs, "no near-dup pairs at sf0.001"
+    for p in pairs:
+        assert by_doc[p["d1"]] == by_doc[p["d2"]], p
+    members = {}
+    for d, c in by_doc.items():
+        members.setdefault(c, []).append(d)
+    for c, ms in members.items():
+        assert c == min(ms), (c, ms)
+    for r in rows:
+        assert r["is_kept"] == (r["doc_id"] == r["cluster_id"]), r
