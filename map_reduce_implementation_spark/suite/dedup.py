@@ -107,8 +107,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(_shingles(spark, sf, 5), threshold=0.5, max_df=None)
 
 
-SQL_DEDUP_NGRAM_JACCARD = """
-WITH toks AS (
+# ONE copy of the shingle/size CTE prefix shared by the three
+# shingle-Jaccard oracles below — the Spark twins all build on
+# operators/dedup.py::jaccard_pairs, so the SQL side must not be able
+# to drift per-oracle either (suite/base.py lockstep convention).
+SQL_SHINGLE_SIZES_CTE = """toks AS (
   SELECT doc_id,
     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
   FROM documents
@@ -119,7 +122,11 @@ sh AS (
   FROM toks, range(1, 100000) r(i)
   WHERE i + 4 <= len(ts)
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)"""
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {SQL_SHINGLE_SIZES_CTE},
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -153,19 +160,8 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(_shingles(spark, sf, 5), threshold=0.5, max_df=2)
 
 
-SQL_DEDUP_NGRAM_JACCARD_CAPPED = """
-WITH toks AS (
-  SELECT doc_id,
-    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
-  FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id,
-    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS shingle
-  FROM toks, range(1, 100000) r(i)
-  WHERE i + 4 <= len(ts)
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+SQL_DEDUP_NGRAM_JACCARD_CAPPED = f"""
+WITH {SQL_SHINGLE_SIZES_CTE},
 df AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1),
 capped AS (
   SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)
@@ -528,19 +524,8 @@ def q_dedup_fuzzy_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_FUZZY_CLUSTERS = """
-WITH RECURSIVE toks AS (
-  SELECT doc_id,
-    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
-  FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id,
-    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS shingle
-  FROM toks, range(1, 100000) r(i)
-  WHERE i + 4 <= len(ts)
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+SQL_DEDUP_FUZZY_CLUSTERS = f"""
+WITH RECURSIVE {SQL_SHINGLE_SIZES_CTE},
 p0 AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
