@@ -288,6 +288,7 @@ def connected_components(
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     converged = False
+    changed = -1  # sentinel: max_iter <= 0 must not NameError in the warning
     for _ in range(max_iter):
         neigh = sym.join(labels, sym["b"] == labels["node"]).select(
             F.col("a").alias("node"), "label"

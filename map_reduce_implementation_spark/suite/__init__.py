@@ -48,6 +48,14 @@ from . import (
 # previously-FAILED entries first, never-checked next, already-green last —
 # so each round's window covers new ground and re-grades fixes.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # round-5 re-grade head: these two queries CHANGED SEMANTICS in
+    # round 5 (levenshtein's blocking front-end replaced by capped
+    # shingle candidates; fuzzy_clusters got the production max_df cap,
+    # both mirrored in their oracles) — with every registry entry green,
+    # the rotation orders greens by THIS static order, so the changed
+    # entries must lead it to re-enter the driver's 50-slot window.
+    "dedup_fuzzy_levenshtein",
+    "dedup_fuzzy_clusters",
     "pipeline_curation",
     "dedup_exact",
     "dedup_keep_first",
@@ -113,7 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_rng",
     # round-2 late additions — rotate into the window in later rounds
     "graph_pagerank",
-    "dedup_fuzzy_levenshtein",
     "events_funnel",
     "quality_outliers",
     "domain_mix_report",
@@ -204,12 +211,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_char_entropy",
     "join_skew_audit",
     # round-4 wave 4 — HLL graded twin, MaxSim late interaction,
-    # MinHash accuracy audit; still after every older unchecked entry
-    # (window: 44 backlog + 3 = 47 <= 50)
+    # MinHash accuracy audit, fuzzy-cluster pipeline; still after every
+    # older unchecked entry (window: 44 backlog + 4 = 48 <= 50)
     "hll_distinct_graded",
     "similarity_maxsim_topk",
     "dedup_minhash_jaccard_est",
-    "dedup_fuzzy_clusters",
 )
 
 

@@ -41,9 +41,11 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _shingles(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
+def _shingles_of(d: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document, HASHED to int64 —
     the inverted-index build side shared by jaccard and minhash dedup.
+    ``d``: DataFrame[doc_id, text] (any provenance — the fuzzy queries
+    feed an augmented corpus through the same pipeline).
 
     All-numeric pipeline: token → xxhash64(token), n-gram → xxhash64
     over the n-long slice of token hashes. No n-gram string is ever
@@ -60,7 +62,6 @@ def _shingles(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
     slower at sf0.1."""
     from ..functions import tokens
 
-    d = table(spark, sf, "documents")
     tokd = d.select("doc_id", tokens("text").alias("ts"))
     bound = tokd.select(
         "doc_id", F.transform(F.col("ts"), lambda tkn: F.xxhash64(tkn)).alias("hts")
@@ -76,6 +77,11 @@ def _shingles(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
         lambda i: F.xxhash64(F.slice("hts", i, n)),
     )
     return bound.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def _shingles(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
+    """:func:`_shingles_of` over the ``documents`` table."""
+    return _shingles_of(table(spark, sf, "documents"), n)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -385,80 +391,121 @@ FROM documents
 """
 
 
+# Stop-shingle cap shared by the two production fuzzy-dedup entries
+# (levenshtein verify + cluster pipeline) and mirrored verbatim in their
+# oracles' df CTEs. Same magnitude as dedup_containment's df<=20: large
+# enough never to touch genuine near-dup overlap on this corpus, small
+# enough that a boilerplate shingle's pair fan-out df·(df-1)/2 is bounded
+# by a constant regardless of corpus size.
+FUZZY_MAX_DF = 20
+
+
+def _fuzzy_augmented(spark: SparkSession, sf: str) -> DataFrame:
+    """documents + deterministic small-edit variants (every 11th doc,
+    one-char insertions at each ' data ' token — the engine-portable
+    injection trick from ``pii_redact``): the synthetic corpus's
+    duplicates are exact copies, so the *near*-match path needs true
+    positives at nonzero distance. Variant ids are negated (doc 0 → -1):
+    disjoint from real non-negative doc_ids at ANY corpus size — an
+    additive offset collides once the corpus outgrows it."""
+    base = table(spark, sf, "documents").select("doc_id", "text")
+    mut = base.filter(F.col("doc_id") % 11 == 0).select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.replace(F.col("text"), F.lit(" data "), F.lit(" dataa ")).alias("text"),
+    )
+    return base.unionAll(mut)
+
+
 def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
-    """Edit-distance near-dup pairs: block by (lang, length bucket),
-    then prefix-banded Levenshtein within each block.
+    """Edit-distance near-dup pairs, sub-quadratic end to end:
+    capped-shingle candidate generation → banded Levenshtein verify.
 
-    100 TB shape: the block key makes this O(sum of block²) instead of
-    all-pairs; blocks are bounded because document length is bounded.
-    Spark's three-arg ``levenshtein(l, r, threshold)`` runs the banded
-    O(n·k) DP and returns -1 past the threshold — the verify cost per
-    pair is linear, not quadratic. Distance is computed on the first
-    96 chars (the standard cheap prefilter stage; survivors would go to
-    a full verify in the dedup pipeline). Self-pairs excluded by
-    d1 < d2 inside the self-join condition (no post-filter blowup).
+    Candidates = pairs sharing ≥1 shingle whose document frequency is
+    ≤ ``FUZZY_MAX_DF`` (w=5 word shingles, the same posting-list shape
+    as ``dedup_ngram_jaccard_capped``): per-shingle pair fan-out is
+    bounded by df·(df-1)/2 ≤ 190, so candidate count is O(shingles),
+    linear in the corpus. The round-4 formulation blocked on
+    (lang, len_bucket) — constant block COUNT, so block SIZE grew O(n)
+    and the self-join was quadratic at scale; this one replaces the
+    blocking front-end with the sub-quadratic machinery the repo
+    already uses for jaccard dedup, exactly the composition
+    ``dedup_fuzzy_clusters`` runs.
 
-    The synthetic corpus's duplicates are exact copies, so to exercise
-    the *near* match path the input is augmented with deterministic
-    small-edit variants (every 11th doc, one-char insertions at each
-    ' data ' token — same engine-portable injection trick as
-    ``pii_redact``); the query reports original↔variant pairs at their
-    true positive distances alongside the distance-0 exact copies."""
-    base = table(spark, sf, "documents").select("doc_id", "lang", "text")
-    mut = (
-        base.filter(F.col("doc_id") % 11 == 0)
+    Verify: Spark's three-arg ``levenshtein(l, r, threshold)`` runs the
+    banded O(n·k) DP and returns -1 past the threshold — linear per
+    pair. Distance is computed on the first 96 chars (the standard
+    cheap prefilter stage; survivors would go to a full verify in the
+    dedup pipeline). Contract change vs the blocked form: docs shorter
+    than 5 tokens yield no shingles and thus no pairs — at production
+    scale sub-5-token docs are filtered by the quality gate anyway."""
+    aug = _fuzzy_augmented(spark, sf)
+    sh = _shingles_of(aug, 5)
+    posts = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
+    cand = (
+        posts.filter((F.size("ds") > 1) & (F.size("ds") <= FUZZY_MAX_DF))
         .select(
-            # negated ids (doc 0 -> -1): disjoint from real non-negative
-            # doc_ids at ANY corpus size — an additive offset collides
-            # once the corpus outgrows it (same fix as suite/graph.py's
-            # customer nodes)
-            (-F.col("doc_id") - 1).alias("doc_id"),
-            "lang",
-            F.replace(F.col("text"), F.lit(" data "), F.lit(" dataa ")).alias(
-                "text"
-            ),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(least(x, y) AS d1, greatest(x, y) AS d2))))"
+                )
+            ).alias("p")
         )
+        .select("p.d1", "p.d2")
+        .distinct()
     )
-    d = base.unionAll(mut).select(
-        "doc_id",
-        "lang",
-        (F.length("text") / 16).cast("long").alias("len_bucket"),
-        F.substring("text", 1, 96).alias("prefix"),
-    )
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    lev = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), 24)
+    pref = aug.select("doc_id", F.substring("text", 1, 96).alias("prefix"))
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    lev = F.levenshtein(F.col("pa.prefix"), F.col("pb.prefix"), 24)
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            lev.alias("edit_distance"),
-        )
+        cand.join(pa, F.col("d1") == F.col("pa.doc_id"))
+        .join(pb, F.col("d2") == F.col("pb.doc_id"))
+        .select("d1", "d2", lev.alias("edit_distance"))
         .filter(F.col("edit_distance") >= 0)
     )
 
 
-SQL_DEDUP_FUZZY_LEVENSHTEIN = """
-WITH aug AS (
-  SELECT doc_id, lang, text FROM documents
+# the augmented-corpus shingle CTE prefix shared by the two fuzzy
+# oracles (lockstep with _fuzzy_augmented + _shingles_of on the Spark
+# side, same tokenizer contract as SQL_SHINGLE_SIZES_CTE)
+SQL_FUZZY_AUG_SHINGLES_CTE = """aug AS (
+  SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT -doc_id - 1, lang, replace(text, ' data ', ' dataa ')
+  SELECT -doc_id - 1, replace(text, ' data ', ' dataa ')
   FROM documents WHERE doc_id % 11 = 0
 ),
-d AS (
-  SELECT doc_id, lang, length(text) // 16 AS len_bucket, substring(text, 1, 96) AS prefix
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
   FROM aug
-)
-SELECT a.doc_id AS d1, b.doc_id AS d2,
-       CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_distance
-FROM d a JOIN d b
-  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-WHERE levenshtein(a.prefix, b.prefix) <= 24
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS shingle
+  FROM toks, range(1, 100000) r(i)
+  WHERE i + 4 <= len(ts)
+)"""
+
+
+SQL_DEDUP_FUZZY_LEVENSHTEIN = f"""
+WITH {SQL_FUZZY_AUG_SHINGLES_CTE},
+df AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1),
+capped AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)
+  WHERE df.c <= {FUZZY_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+pref AS (SELECT doc_id, substring(text, 1, 96) AS prefix FROM aug)
+SELECT d1, d2,
+       CAST(levenshtein(pa.prefix, pb.prefix) AS INTEGER) AS edit_distance
+FROM cand
+JOIN pref pa ON pa.doc_id = d1
+JOIN pref pb ON pb.doc_id = d2
+WHERE levenshtein(pa.prefix, pb.prefix) <= 24
 """
 
 
@@ -493,8 +540,9 @@ _CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
 
 def q_dedup_fuzzy_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """The production fuzzy-dedup pipeline END-TO-END (the
-    RefinedWeb/Pile recipe): shingle candidates → exact-Jaccard
-    verification (J ≥ 0.5, same pairs as ``dedup_ngram_jaccard``) →
+    RefinedWeb/Pile recipe): capped-shingle candidates → exact-Jaccard
+    verification (J ≥ 0.5, the ``dedup_ngram_jaccard_capped`` pair
+    semantics at the production cap) →
     connected components → keeper = the cluster's minimum doc_id. The
     sibling ``dedup_clusters`` groups EXACT duplicates, whose
     components are cliques with a closed-form oracle; here edges are
@@ -505,15 +553,19 @@ def q_dedup_fuzzy_clusters(spark: SparkSession, sf: str) -> DataFrame:
     with localCheckpoint lineage truncation) is hash-verified against
     a true fixpoint, not a shortcut.
 
-    Scale: pair generation is the capped-posting-list shape (uncapped
-    here so the oracle's plain self-join matches exactly — production
-    uses max_df); CC moves O(edges) rows per round and dedup graphs
-    are near-cliques, converging in 2-3 rounds. Every doc appears in
-    the output (singletons keep themselves) — the full keep/drop
-    decision a curation pipeline consumes downstream."""
+    Scale: pair generation is the capped-posting-list shape with the
+    production ``max_df`` cap APPLIED (``FUZZY_MAX_DF``, mirrored in
+    the oracle's df CTE — same lockstep as the capped-jaccard pair),
+    so per-shingle pair fan-out is bounded df·(df-1)/2 at any corpus
+    size; CC moves O(edges) rows per round and dedup graphs are
+    near-cliques, converging in 2-3 rounds. Every doc appears in the
+    output (singletons keep themselves) — the full keep/drop decision
+    a curation pipeline consumes downstream."""
     from ..operators.dedup import connected_components, jaccard_pairs
 
-    pairs = jaccard_pairs(_shingles(spark, sf, 5), threshold=0.5, max_df=None)
+    pairs = jaccard_pairs(
+        _shingles(spark, sf, 5), threshold=0.5, max_df=FUZZY_MAX_DF
+    )
     edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     nodes = table(spark, sf, "documents").select(F.col("doc_id").alias("node"))
     cc = connected_components(edges, nodes)
@@ -526,9 +578,14 @@ def q_dedup_fuzzy_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_DEDUP_FUZZY_CLUSTERS = f"""
 WITH RECURSIVE {SQL_SHINGLE_SIZES_CTE},
+fdf AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1),
+fcapped AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN fdf USING (shingle)
+  WHERE fdf.c <= {FUZZY_MAX_DF}
+),
 p0 AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM fcapped a JOIN fcapped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 edges AS (

@@ -302,10 +302,19 @@ def test_fuzzy_clusters_consistency(spark):
     """CC postconditions: every doc appears exactly once, both ends of
     every verified near-dup pair land in the same cluster, cluster id
     is the minimum member id, and is_kept marks exactly that member."""
+    from map_reduce_implementation_spark.operators.dedup import jaccard_pairs
+    from map_reduce_implementation_spark.suite.dedup import (
+        FUZZY_MAX_DF,
+        _shingles,
+    )
+
     rows = QS["dedup_fuzzy_clusters"].build(spark, SF0001).collect()
     by_doc = {r["doc_id"]: r["cluster_id"] for r in rows}
     assert len(by_doc) == len(rows)
-    pairs = QS["dedup_ngram_jaccard"].build(spark, SF0001).collect()
+    # the pipeline's own edge set: capped pairs at the production max_df
+    pairs = jaccard_pairs(
+        _shingles(spark, SF0001, 5), threshold=0.5, max_df=FUZZY_MAX_DF
+    ).collect()
     assert pairs, "no near-dup pairs at sf0.001"
     for p in pairs:
         assert by_doc[p["d1"]] == by_doc[p["d2"]], p
