@@ -111,6 +111,15 @@ HEADLINE = [
     # round-4 wave 4: HLL graded twin + MaxSim late interaction
     "hll_distinct_graded",
     "similarity_maxsim_topk",
+    # round-5: capped fuzzy pipeline, C4 segment dedup, n-gram
+    # decontamination, MATTR, MAD gate, centroid outliers, real resize
+    "dedup_fuzzy_clusters",
+    "dedup_line_level",
+    "decontaminate_ngram_overlap",
+    "text_mattr",
+    "events_anomaly_mad",
+    "embedding_centroid_outliers",
+    "multimodal_resize",
 ]
 
 

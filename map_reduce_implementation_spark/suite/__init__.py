@@ -14,6 +14,7 @@ from . import (
     curation2,
     curation3,
     curation4,
+    curation5,
     dedup,
     events,
     graph,
@@ -218,6 +219,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_distinct_graded",
     "similarity_maxsim_topk",
     "dedup_minhash_jaccard_est",
+    # round-5 wave — C4 segment dedup, n-gram eval decontamination,
+    # MATTR lexical diversity, MAD anomaly gate, centroid outliers.
+    # Window math: every registry entry has a green driver verdict, so
+    # the rotation is [unchecked new] + [greens in static order]; these
+    # 5 new names enter the window first and the 4 re-grade heads
+    # (fuzzy x2 + multimodal x2) follow at green positions 1-4 — all 9
+    # round-5 deltas inside the 50-slot window.
+    "dedup_line_level",
+    "decontaminate_ngram_overlap",
+    "text_mattr",
+    "events_anomaly_mad",
+    "embedding_centroid_outliers",
 )
 
 
@@ -268,6 +281,7 @@ def all_queries() -> dict[str, Query]:
         curation2,
         curation3,
         curation4,
+        curation5,
         sketches3,
         graph,
         tpch3,
