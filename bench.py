@@ -120,6 +120,10 @@ HEADLINE = [
     "events_anomaly_mad",
     "embedding_centroid_outliers",
     "multimodal_resize",
+    # round-5 wave 2
+    "similarity_two_stage_retrieval",
+    "embedding_whitening",
+    "events_burst_zscore",
 ]
 
 

@@ -24,6 +24,7 @@ from . import (
     multimodal,
     parity,
     pipeline2,
+    pipeline3,
     quality,
     relational,
     scalars2,
@@ -231,6 +232,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_mattr",
     "events_anomaly_mad",
     "embedding_centroid_outliers",
+    # round-5 wave 2 — batched two-stage retrieval, whitening, burst
+    # detection (window: 8 new + 4 re-grade heads = 12 deltas <= 50)
+    "similarity_two_stage_retrieval",
+    "embedding_whitening",
+    "events_burst_zscore",
 )
 
 
@@ -301,6 +307,7 @@ def all_queries() -> dict[str, Query]:
         sinks,
         tpch2,
         pipeline2,
+        pipeline3,
         quality,
         vector2,
     ):
