@@ -124,6 +124,8 @@ HEADLINE = [
     "similarity_two_stage_retrieval",
     "embedding_whitening",
     "events_burst_zscore",
+    # round-5 wave 3
+    "tokenizer_bpe_apply",
 ]
 
 

@@ -237,6 +237,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "similarity_two_stage_retrieval",
     "embedding_whitening",
     "events_burst_zscore",
+    # round-5 wave 3 — BPE inference half (train -> apply loop closed)
+    "tokenizer_bpe_apply",
 )
 
 

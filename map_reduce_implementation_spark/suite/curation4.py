@@ -458,8 +458,119 @@ FROM counts
 """
 
 
+BPE_APPLY_TOPN = 20
+
+
+def q_tokenizer_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply the {BPE_MERGES} learned merges back to the vocabulary —
+    the INFERENCE half of the BPE loop (``tokenizer_bpe_train`` is the
+    training half; a user of the tokenizer runs train once, apply on
+    every corpus). Merges are re-derived in-plan (same vocabulary CTEs,
+    bit-identical winners), then applied IN RANK ORDER to every word —
+    including the 1-char words the trainer's pair scan excludes — and
+    the output reports the top-{BPE_APPLY_TOPN} words by frequency with
+    their final segmentation (symbols joined by '|'), char vs symbol
+    counts showing the compression.
+
+    100 TB shape: identical to training — corpus collapses once to
+    (word, freq); every merge application is a zero-shuffle
+    position-parallel rewrite over vocab-sized rows with the 1-row
+    winner broadcast in-plan; the final report is a
+    TakeOrderedAndProject."""
+    d = table(spark, sf, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    ).localCheckpoint()
+    sym_all = words.select(
+        "w",
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("t"),
+    )
+    t_learn = sym_all.filter(F.size("t") >= 2)
+    merges = []
+    t = t_learn
+    for rank in range(1, BPE_MERGES + 1):
+        top1 = _pair_top1(t)
+        merges.append(top1)
+        if rank < BPE_MERGES:
+            t = _apply_merge(t, top1)
+    ta = sym_all
+    for top1 in merges:
+        ta = _apply_merge(ta, top1)
+    return (
+        ta.select(
+            "w",
+            "freq",
+            F.length("w").alias("n_chars"),
+            F.size("t").alias("n_symbols"),
+            F.array_join("t", "|").alias("segmentation"),
+        )
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(BPE_APPLY_TOPN)
+    )
+
+
+def _sql_bpe_apply() -> str:
+    """The training chain's CTEs (identical winners) + an application
+    chain over ALL words + the top-N segmentation report."""
+    head = """
+WITH words AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+t1 AS (
+  SELECT w, freq,
+    list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INTEGER), 1)) AS ts
+  FROM words WHERE len(w) >= 2
+),
+a0 AS (
+  SELECT w, freq,
+    list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INTEGER), 1)) AS ts
+  FROM words
+)"""
+    apply_tpl = """,
+{out} AS (
+  SELECT w, freq,
+    list_filter(list_transform(range(1, len(ts) + 1), i ->
+      CASE WHEN ts[i] = {b}.pa AND ts[i+1] = {b}.pb THEN {b}.pa || {b}.pb
+           WHEN i > 1 AND ts[i-1] = {b}.pa AND ts[i] = {b}.pb THEN NULL
+           ELSE ts[i] END), x -> x IS NOT NULL) AS ts
+  FROM {src}, {b}
+)"""
+    parts = [head]
+    for r in range(1, BPE_MERGES + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT ts[i] AS a, ts[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM t{r}, range(1, 10000) q(i)
+  WHERE i + 1 <= len(ts) AND ts[i] <> ts[i+1]
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT a AS pa, b AS pb, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""")
+        if r < BPE_MERGES:
+            parts.append(apply_tpl.format(out=f"t{r + 1}", src=f"t{r}", b=f"b{r}"))
+    for r in range(1, BPE_MERGES + 1):
+        parts.append(apply_tpl.format(out=f"a{r}", src=f"a{r - 1}", b=f"b{r}"))
+    parts.append(f"""
+SELECT w, freq, CAST(len(w) AS INTEGER) AS n_chars,
+  CAST(len(ts) AS INTEGER) AS n_symbols,
+  array_to_string(ts, '|') AS segmentation
+FROM a{BPE_MERGES}
+ORDER BY freq DESC, w ASC LIMIT {BPE_APPLY_TOPN}""")
+    return "".join(parts)
+
+
 QUERIES: dict[str, Query] = {
     "tokenizer_bpe_train": Query(q_tokenizer_bpe_train, _sql_bpe()),
+    "tokenizer_bpe_apply": Query(q_tokenizer_bpe_apply, _sql_bpe_apply()),
     "dedup_span_removal": Query(q_dedup_span_removal, SQL_DEDUP_SPAN_REMOVAL),
     "dataset_split": Query(q_dataset_split, SQL_DATASET_SPLIT),
     "text_char_entropy": Query(q_text_char_entropy, SQL_TEXT_CHAR_ENTROPY),

@@ -273,3 +273,26 @@ def test_burst_zscore_pandas_crosscheck(spark):
             assert r["max_z"] is None
         else:
             assert abs(r["max_z"] - round(max_z, 6)) < 1e-9, t
+
+
+def test_bpe_apply_segmentation_invariants(spark):
+    """Every reported segmentation re-concatenates to its word, symbol
+    counts are consistent, the rows are the true top-N by frequency,
+    and the learned merges actually compress at least one top word."""
+    from map_reduce_implementation_spark.suite.curation4 import (
+        BPE_APPLY_TOPN,
+    )
+
+    rows = QS["tokenizer_bpe_apply"].build(spark, SF0001).collect()
+    assert 0 < len(rows) <= BPE_APPLY_TOPN
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    compressed = 0
+    for r in rows:
+        syms = r["segmentation"].split("|")
+        assert "".join(syms) == r["w"]
+        assert r["n_symbols"] == len(syms)
+        assert r["n_chars"] == len(r["w"])
+        assert r["n_symbols"] <= r["n_chars"]
+        compressed += r["n_symbols"] < r["n_chars"]
+    assert compressed > 0, "no top word was compressed by the merges"
