@@ -171,13 +171,17 @@ def _run_noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-# three flagship dedup/fingerprint paths: the exact capped/posting-list
-# shape, the sketch (MinHash+LSH) shape, and the per-doc winnowing
-# fingerprint (claimed embarrassingly parallel => linear)
+# four flagship dedup/fingerprint paths: the exact capped/posting-list
+# shape, the sketch (MinHash+LSH) shape, the per-doc winnowing
+# fingerprint (claimed embarrassingly parallel => linear), and the C4
+# segment-level keep-first dedup (round 5 — one segment-keyed window
+# whose groups are duplicate-multiplicity-sized, so the sort cost per
+# group is bounded and the whole job should scale linearly)
 SCALE_QUERIES = [
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "text_winnow_graded",
+    "dedup_line_level",
 ]
 # the capped arm additionally gets a 100× point: the 100 TB claim rests
 # on the slope staying flat for ANOTHER decade of scale, not just one

@@ -149,3 +149,35 @@ def test_resize_png_roundtrip_pixels():
     assert (w2, h2, ch2) == (17, 11, 1)
     assert np.array_equal(px2[:, :, 0], small)
     assert np.array_equal(small, img[::2, ::2])
+
+
+def test_resize_png_roundtrip_property():
+    """Property: for random dims/content and any stride, decode ∘ encode
+    of the strided sample is the identity (hypothesis-driven — the fixed
+    test pattern can't exercise all five PNG filter heuristics)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_implementation_spark.operators.multimodal import (
+        png_decode_pixels,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 60),
+        h=st.integers(1, 60),
+        seed=st.integers(0, 2**31 - 1),
+        den=st.integers(1, 4),
+    )
+    def check(w, h, seed, den):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        px, dw, dh, ch = png_decode_pixels(png_encode_gray(img))
+        assert (dw, dh, ch) == (w, h, 1)
+        assert np.array_equal(px[:, :, 0], img)
+        small = px[::den, ::den, 0]
+        px2, _, _, _ = png_decode_pixels(png_encode_gray(small))
+        assert np.array_equal(px2[:, :, 0], small)
+        assert np.array_equal(small, img[::den, ::den])
+
+    check()
