@@ -239,6 +239,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_burst_zscore",
     # round-5 wave 3 — BPE inference half (train -> apply loop closed)
     "tokenizer_bpe_apply",
+    "events_conversion_lag",
 )
 
 

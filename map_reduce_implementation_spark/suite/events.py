@@ -905,8 +905,79 @@ FROM spine s JOIN daily u
 GROUP BY s.d
 """
 
+def q_conversion_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert per first-view day cohort: for each user, the
+    first 'view' and the first 'purchase' AT OR AFTER it; per cohort
+    day the conversion rate and the p50/p90 lag in minutes — the
+    funnel's TIMING companion (``events_funnel`` counts who converts,
+    this measures how fast). Lags are exact integer microseconds
+    (``unix_micros`` ↔ ``epoch_us``) so the percentile interpolation
+    operates on identical ints in both engines; cohort_day stays
+    TIMESTAMP (the retention/LTV date-canon precedent).
+
+    Scale: two user-keyed aggregates + one user-keyed join, then all
+    percentile math on per-user scalars grouped by ~days cohorts; at
+    real scale swap exact `percentile` for `approx_percentile` (the
+    documented RFM trade)."""
+    ev = table(spark, sf, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("v_us"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_ts")
+    )
+    conv = (
+        v.join(p, "user_id")
+        .filter(F.col("p_ts") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("p_us"))
+    )
+    base = v.join(conv, "user_id", "left").select(
+        F.date_trunc("day", F.timestamp_micros(F.col("v_us"))).alias("cohort_day"),
+        "v_us",
+        "p_us",
+    )
+    lag = F.col("p_us") - F.col("v_us")
+    converted = F.sum(F.when(F.col("p_us").isNotNull(), 1).otherwise(0))
+    return base.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        converted.alias("n_converted"),
+        F.round(converted / F.count(F.lit(1)), 6).alias("conv_rate"),
+        F.round(F.percentile(lag, F.lit(0.5)) / F.lit(6e7), 6).alias("p50_lag_min"),
+        F.round(F.percentile(lag, F.lit(0.9)) / F.lit(6e7), 6).alias("p90_lag_min"),
+    )
+
+
+SQL_CONVERSION_LAG = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS v_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
+  GROUP BY e.user_id
+),
+base AS (
+  SELECT CAST(date_trunc('day', make_timestamp(v.v_us)) AS TIMESTAMP) AS cohort_day,
+         v.v_us, c.p_us
+  FROM v LEFT JOIN conv c ON c.user_id = v.user_id
+)
+SELECT cohort_day, COUNT(*) AS n_users,
+  CAST(SUM(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+  ROUND(SUM(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS conv_rate,
+  ROUND(quantile_cont(p_us - v_us, 0.5) / 6e7, 6) AS p50_lag_min,
+  ROUND(quantile_cont(p_us - v_us, 0.9) / 6e7, 6) AS p90_lag_min
+FROM base GROUP BY cohort_day
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_funnel": Query(q_funnel, SQL_FUNNEL),
+    "events_conversion_lag": Query(q_conversion_lag, SQL_CONVERSION_LAG),
     "events_scd2_intervals": Query(q_scd2_intervals, SQL_SCD2_INTERVALS),
     "equi_depth_histogram": Query(q_equi_depth_histogram, SQL_EQUI_DEPTH_HISTOGRAM),
     "rate_limit_per_key": Query(q_rate_limit_per_key, SQL_RATE_LIMIT_PER_KEY),
