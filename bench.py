@@ -183,12 +183,18 @@ SCALE_QUERIES = [
     "text_winnow_graded",
     "dedup_line_level",
 ]
-# two arms additionally get a 100× point: the 100 TB claim rests on
+# three arms additionally get a 100× point: the 100 TB claim rests on
 # the slope staying flat for ANOTHER decade of scale, not just one —
 # the capped posting-list shape (df-cap must keep pair fan-out bounded
-# as duplicate multiplicity grows 100×) and the C4 segment dedup (the
-# window groups grow 100× denser; the per-group sort must stay cheap)
-SCALE_X100_QUERIES = ["dedup_ngram_jaccard_capped", "dedup_line_level"]
+# as duplicate multiplicity grows 100×), the C4 segment dedup (window
+# groups grow 100× denser; the per-group sort must stay cheap), and
+# winnowing (embarrassingly parallel — its 100× point is the control:
+# a pure map stage SHOULD read ~linear once constants amortize)
+SCALE_X100_QUERIES = [
+    "dedup_ngram_jaccard_capped",
+    "dedup_line_level",
+    "text_winnow_graded",
+]
 
 # vector-family scaling arm (SemDeDup): cluster count scales WITH the
 # corpus (k = 8 at 1x, 80 at 10x — fixed target cell size, the paper's

@@ -240,6 +240,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-5 wave 3 — BPE inference half (train -> apply loop closed)
     "tokenizer_bpe_apply",
     "events_conversion_lag",
+    "dedup_incremental",
 )
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..sources import table
 from .base import Query
+from .dedup import FUZZY_MAX_DF, SQL_SHINGLE_SIZES_CTE, _shingles, _shingles_of
 
 SEG_TOKENS = 16  # C4 dedupes at line granularity; this corpus has no
 # newlines, so the segment is a fixed 16-token window (segmentation is
@@ -429,8 +430,111 @@ FROM d ORDER BY dist2_to_centroid DESC, vec_id LIMIT {OUTLIER_TOPK}
 """
 
 
+NEW_MOD = 10  # "incoming crawl delta" = doc_id % 10 == 3
+NEW_REM = 3
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingestion dedup — the ASYMMETRIC variant every
+    standing pipeline runs on each crawl delta: NEW docs (the
+    doc_id % {NEW_MOD} == {NEW_REM} slice stands in for the delta) are
+    checked against the STANDING corpus; the standing corpus is never
+    re-deduped. Per new doc: exact-dup flag (content hash seen in the
+    old corpus), nearest near-dup old doc (capped-shingle Jaccard ≥ 0.5,
+    keeper = min old id), and the final keep decision. The batch arms
+    (``dedup_exact``/``dedup_fuzzy_clusters``) re-dedup the WHOLE corpus
+    — quadratic in history length across crawls; this shape touches each
+    old doc once per delta.
+
+    Scale: the old-hash set joins as a left-semi on an md5 key (at real
+    scale a Bloom-gated semi-join — ``bloom_decontaminate``'s sketch);
+    near-dup candidates come from the same capped posting lists as
+    ``dedup_ngram_jaccard_capped`` (pair fan-out bounded by the df cap),
+    filtered to cross-side pairs only."""
+    from ..operators.dedup import jaccard_pairs
+
+    d = table(spark, sf, "documents")
+    is_new = F.col("doc_id") % NEW_MOD == NEW_REM
+    old_hashes = (
+        d.filter(~is_new).select(F.md5("text").alias("h")).distinct()
+    )
+    new_docs = d.filter(is_new).select("doc_id", F.md5("text").alias("h"))
+    exact_ids = new_docs.join(old_hashes, "h", "left_semi").select("doc_id")
+    pairs = jaccard_pairs(_shingles(spark, sf, 5), threshold=0.5, max_df=FUZZY_MAX_DF)
+    side = lambda c: F.col(c) % NEW_MOD == NEW_REM
+    near = (
+        pairs.filter(side("d1") != side("d2"))
+        .select(
+            F.when(side("d1"), F.col("d1")).otherwise(F.col("d2")).alias("new_id"),
+            F.when(side("d1"), F.col("d2")).otherwise(F.col("d1")).alias("old_id"),
+        )
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("near_dup_of"))
+    )
+    ex = exact_ids.withColumn("is_exact_dup", F.lit(True))
+    return (
+        d.filter(is_new)
+        .select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(near, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("is_exact_dup"), F.lit(False)).alias("is_exact_dup"),
+            "near_dup_of",
+            (
+                F.coalesce(F.col("is_exact_dup"), F.lit(False)).__invert__()
+                & F.col("near_dup_of").isNull()
+            ).alias("is_kept"),
+        )
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {{shingle_cte}},
+fdf AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1),
+fcapped AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN fdf USING (shingle)
+  WHERE fdf.c <= {{cap}}
+),
+p0 AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM fcapped a JOIN fcapped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT d1, d2
+  FROM p0
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+),
+near AS (
+  SELECT CASE WHEN d1 % {NEW_MOD} = {NEW_REM} THEN d1 ELSE d2 END AS new_id,
+         MIN(CASE WHEN d1 % {NEW_MOD} = {NEW_REM} THEN d2 ELSE d1 END) AS near_dup_of
+  FROM jpairs
+  WHERE (d1 % {NEW_MOD} = {NEW_REM}) <> (d2 % {NEW_MOD} = {NEW_REM})
+  GROUP BY 1
+),
+oldh AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % {NEW_MOD} <> {NEW_REM}
+)
+SELECT d.doc_id,
+  (md5(d.text) IN (SELECT h FROM oldh)) AS is_exact_dup,
+  n.near_dup_of,
+  (NOT (md5(d.text) IN (SELECT h FROM oldh)) AND n.near_dup_of IS NULL) AS is_kept
+FROM documents d
+LEFT JOIN near n ON n.new_id = d.doc_id
+WHERE d.doc_id % {NEW_MOD} = {NEW_REM}
+"""
+
+SQL_DEDUP_INCREMENTAL = SQL_DEDUP_INCREMENTAL.format(
+    shingle_cte=SQL_SHINGLE_SIZES_CTE, cap=FUZZY_MAX_DF
+)
+
+
 QUERIES: dict[str, Query] = {
     "dedup_line_level": Query(q_dedup_line_level, SQL_DEDUP_LINE_LEVEL),
+    "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "decontaminate_ngram_overlap": Query(
         q_decontaminate_ngram_overlap, SQL_DECONTAMINATE_NGRAM_OVERLAP
     ),

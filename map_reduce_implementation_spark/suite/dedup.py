@@ -1,6 +1,9 @@
 """Deduplication operator suite (BASELINE.json north-star).
 
-Four tiers, each with the 100 TB strategy stated:
+The core tiers, each with the 100 TB strategy stated (the suite has
+since grown sibling arms — capped variants, graded sketch twins, the
+end-to-end fuzzy pipeline, segment-level C4 dedup in curation5 — all
+building on the same posting-list/LSH/blocked shapes):
 
 - **exact** — hash-groupBy on a content hash. One shuffle keyed by the
   hash; perfectly scalable (the hash is uniform → no skew).
