@@ -296,3 +296,38 @@ def test_bpe_apply_segmentation_invariants(spark):
         assert r["n_symbols"] <= r["n_chars"]
         compressed += r["n_symbols"] < r["n_chars"]
     assert compressed > 0, "no top word was compressed by the merges"
+
+
+def test_incremental_dedup_python_replay(spark):
+    """Asymmetric crawl-delta dedup: exact flags replay from old-corpus
+    hashes, near_dup_of always points at an OLD doc, and the keep
+    decision is exactly (not exact) AND (no near-dup)."""
+    import hashlib as _h
+
+    from map_reduce_implementation_spark.sources import table
+    from map_reduce_implementation_spark.suite.curation5 import (
+        NEW_MOD,
+        NEW_REM,
+    )
+
+    rows = QS["dedup_incremental"].build(spark, SF0001).collect()
+    docs = table(spark, SF0001, "documents").select("doc_id", "text").collect()
+    old_hashes = {
+        _h.md5(r["text"].encode()).hexdigest()
+        for r in docs
+        if r["doc_id"] % NEW_MOD != NEW_REM
+    }
+    by_id = {r["doc_id"]: r["text"] for r in docs}
+    n_new = sum(1 for r in docs if r["doc_id"] % NEW_MOD == NEW_REM)
+    assert len(rows) == n_new
+    for r in rows:
+        assert r["doc_id"] % NEW_MOD == NEW_REM
+        expect_exact = (
+            _h.md5(by_id[r["doc_id"]].encode()).hexdigest() in old_hashes
+        )
+        assert r["is_exact_dup"] == expect_exact, r["doc_id"]
+        if r["near_dup_of"] is not None:
+            assert r["near_dup_of"] % NEW_MOD != NEW_REM, r
+        assert r["is_kept"] == (
+            not r["is_exact_dup"] and r["near_dup_of"] is None
+        ), r
