@@ -328,3 +328,27 @@ def test_stream_stream_left_outer_join_watermark_boundary(spark, events_dir):
     assert not (got_outer & want_outer_held)
     # 3. expiry does happen (not an empty vacuous pass)
     assert got_outer, "no unmatched clicks were expired"
+
+
+def test_burst_cells_stream_equals_batch(spark, events_dir):
+    """The (event_type, hour) volume cells feeding events_burst_zscore,
+    computed as a watermarked streaming windowed aggregate (the
+    continuous path a stream-health monitor runs), must equal the batch
+    cells — the z-score pass then runs downstream on this rollup."""
+    from pyspark.sql import functions as F
+
+    sdf = stream_events(spark, events_dir)
+    cells = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("c"))
+        .select("event_type", F.col("w.start").alias("h"), "c")
+    )
+    run_available_now_to_memory(cells, "t_burst_cells")
+    got = _sorted_rows(spark.table("t_burst_cells"))
+    want = _sorted_rows(
+        table(spark, SF0001, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("c"))
+    )
+    assert got == want
