@@ -283,12 +283,16 @@ FROM base b LEFT JOIN wins w ON w.doc_id = b.doc_id
 
 
 def q_events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
-    """Robust per-type anomaly gate: median ± {MAD_K}·{MAD_SCALE}·MAD.
-    Mean/stddev outlier gates (``quality_outliers``) break on the
-    heavy-tailed metric distributions real event streams have — one
-    whale inflates sigma until nothing is an outlier; the median/MAD
-    pair has a 50% breakdown point. Flags per event_type how many
-    events fall outside the robust band.
+    """Per-type robust anomaly SUMMARY: median ± {MAD_K}·{MAD_SCALE}·MAD
+    band, reporting per event_type the robust stats and how many events
+    fall outside — the monitoring-dashboard rollup of the same
+    median/MAD gate whose ROW-level arm is ``quality_outliers`` (which
+    emits the flagged events themselves at |z| > 2.5); a health monitor
+    consumes this bounded types-sized report, not the event stream. The
+    median/MAD pair has a 50% breakdown point — one whale cannot drag
+    the band the way it drags a mean/stddev gate. (Volume-over-time
+    anomalies are ``events_burst_zscore``'s job; this one is about the
+    VALUE distribution.)
 
     Scale shape: exact `percentile` is a per-type map-side-combined
     aggregate (value multiplicity maps); two passes over events (one
