@@ -133,10 +133,14 @@ def q_decontaminate_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
     held-out benchmark) contributes a distinct {OVERLAP_NGRAM}-gram
     set; every training doc reports what fraction of its own distinct
     {OVERLAP_NGRAM}-grams collide with it, and is flagged when the
-    fraction reaches {OVERLAP_THRESHOLD}. Exact-match decontamination
-    (``decontaminate``) and Bloom-gated (``bloom_decontaminate``) are
-    the siblings; this is the partial-overlap policy that catches
-    paraphrased/embedded contamination those miss.
+    fraction reaches {OVERLAP_THRESHOLD}. The siblings: ``decontaminate``
+    flags any doc sharing ≥1 shingle (and omits clean docs from its
+    output); ``bloom_decontaminate`` is the sketch-gated form of the
+    same any-hit rule. This entry is the calibrated POLICY variant —
+    a single boilerplate n-gram no longer nukes a document, the
+    threshold is tunable per benchmark, and every training doc gets an
+    explicit keep/flag verdict (clean and shingle-less docs included),
+    which is what the downstream filter join actually consumes.
 
     Scale shape: shingles are hashed int64s (the shingle-pipeline
     argument); the eval set joins as a left-semi on the shingle key —
