@@ -126,6 +126,12 @@ HEADLINE = [
     "events_burst_zscore",
     # round-5 wave 3
     "tokenizer_bpe_apply",
+    # round-5 wave 4 (observability): the segment-window boilerplate
+    # pass and the GD-train + corpus-score apply half are the two
+    # data-sized jobs; the report queries are aggregate-frame-sized
+    "boilerplate_removal",
+    "quality_classifier_apply",
+    "similarity_threshold_sweep",
 ]
 
 

@@ -15,6 +15,7 @@ from . import (
     curation3,
     curation4,
     curation5,
+    curation6,
     dedup,
     events,
     graph,
@@ -241,6 +242,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tokenizer_bpe_apply",
     "events_conversion_lag",
     "dedup_incremental",
+    # round-5 wave 4 — pipeline observability (curation6) + the linear-
+    # probe apply half (window: 17 new + 4 re-grade heads = 21 <= 50)
+    "filter_cascade_report",
+    "token_budget_mix",
+    "boilerplate_removal",
+    "dedup_cluster_stats",
+    "similarity_threshold_sweep",
+    "quality_classifier_apply",
 )
 
 
@@ -292,6 +301,7 @@ def all_queries() -> dict[str, Query]:
         curation3,
         curation4,
         curation5,
+        curation6,
         sketches3,
         graph,
         tpch3,

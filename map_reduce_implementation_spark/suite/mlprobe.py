@@ -58,24 +58,21 @@ def _alg_sigmoid(z: F.Column) -> F.Column:
     return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
 
 
-def q_embedding_linear_probe(spark: SparkSession, sf: str) -> DataFrame:
-    """Binary linear probe (target: label % 2) trained with {ITERS}
-    full-batch gradient steps from w=0, lr={LR}; returns the final
-    per-dimension weight and the training accuracy. Gradient step:
-    w <- w - lr/n * X^T (s(Xw) - y) with the algebraic sigmoid s.
-
-    Every iteration is: broadcast the 1-row weight array, one scan of
-    the embeddings computing the per-row margin, posexplode to (pos,
-    x·m) contributions, ONE 64-key groupBy (map-side combined), and a
-    64-row join to form the next weights. No driver round-trip for
-    model state; the one bounded scalar is n (corpus size)."""
-    e = table(spark, sf, "embeddings").select(
+def _probe_input(spark: SparkSession, sf: str) -> DataFrame:
+    """Embeddings projected to (vec_id, y = label%2, v) — the training
+    view shared by the train and apply halves."""
+    return table(spark, sf, "embeddings").select(
         "vec_id",
         (F.col("label") % 2).cast("double").alias("y"),
         _as_double("embedding").alias("v"),
     )
-    n = float(e.count())  # one bounded scalar (suite/text.py:361 precedent)
 
+
+def _train_probe(e: DataFrame, n: float):
+    """The {ITERS}-step full-batch GD loop from w=0 (lr={LR}); returns
+    (w_df 64-row (pos, w), w_row 1-row weight list). Shared verbatim by
+    ``embedding_linear_probe`` and ``quality_classifier_apply`` so the
+    apply half scores with EXACTLY the weights the train half reports."""
     w_df = None  # (pos, w) — None means w == 0 (first iteration)
     w_row = None  # 1-row DataFrame with the weight list
     for _ in range(ITERS):
@@ -124,6 +121,23 @@ def q_embedding_linear_probe(spark: SparkSession, sf: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
             ).alias("wl")
         )
+    return w_df, w_row
+
+
+def q_embedding_linear_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary linear probe (target: label % 2) trained with {ITERS}
+    full-batch gradient steps from w=0, lr={LR}; returns the final
+    per-dimension weight and the training accuracy. Gradient step:
+    w <- w - lr/n * X^T (s(Xw) - y) with the algebraic sigmoid s.
+
+    Every iteration is: broadcast the 1-row weight array, one scan of
+    the embeddings computing the per-row margin, posexplode to (pos,
+    x·m) contributions, ONE 64-key groupBy (map-side combined), and a
+    64-row join to form the next weights. No driver round-trip for
+    model state; the one bounded scalar is n (corpus size)."""
+    e = _probe_input(spark, sf)
+    n = float(e.count())  # one bounded scalar (suite/text.py:361 precedent)
+    w_df, w_row = _train_probe(e, n)
 
     acc = (
         e.crossJoin(F.broadcast(w_row))
@@ -142,10 +156,14 @@ def q_embedding_linear_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _probe_oracle() -> str:
-    dot = (
-        "list_sum(list_transform(list_zip(v, wl), p -> p[1]*p[2]))"
-    )
+_SQL_DOT = "list_sum(list_transform(list_zip(v, wl), p -> p[1]*p[2]))"
+
+
+def _gd_ctes() -> list[str]:
+    """The unrolled {ITERS}-step GD CTE chain (e … w{ITERS}) — shared
+    by the train and apply oracles so both score from identical
+    weights, mirroring ``_train_probe`` on the Spark side."""
+    dot = _SQL_DOT
     ctes = [
         "e AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,"
         " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -170,6 +188,12 @@ def _probe_oracle() -> str:
             f"w{k + 1} AS (SELECT g.pos, w.w - {LR} * g.s / n.c AS w"
             f" FROM g{k} g JOIN w{k} w USING (pos), n)",
         ]
+    return ctes
+
+
+def _probe_oracle() -> str:
+    dot = _SQL_DOT
+    ctes = _gd_ctes()
     ctes += [
         f"wlf AS (SELECT list(w ORDER BY pos) AS wl FROM w{ITERS})",
         f"acc AS (SELECT ROUND(AVG(CASE WHEN ({dot} > 0) = (y = 1.0)"
@@ -182,6 +206,68 @@ def _probe_oracle() -> str:
 
 
 SQL_EMBEDDING_LINEAR_PROBE = _probe_oracle()
+
+
+def q_quality_classifier_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """The APPLY half of the linear probe — the fastText-style quality
+    classifier run a curation pipeline executes after training: score
+    EVERY embedding with the trained weights (p = s(w·x), the same
+    algebraic sigmoid), bucket scores into deciles, and report each
+    bucket's population, positive count, and mean score — the
+    score-distribution table that picks the keep threshold (train on a
+    labeled slice, apply to the corpus, cut where the buckets separate).
+    Completes the train→apply loop the way ``tokenizer_bpe_apply``
+    closes ``tokenizer_bpe_train``.
+
+    Determinism: identical weights by construction (the loop and its
+    unrolled-CTE oracle are shared with ``embedding_linear_probe``
+    verbatim); p is ROUND(·, 9) of a sequential-fold dot through the
+    exp-free sigmoid; the decile boundary compare is floor(p*10) on
+    identical doubles (the algebraic sigmoid's open (0,1) range keeps
+    floor in 0..9); the mean is an exact DECIMAL(18,9) sum divided
+    once.
+
+    Scale shape: training is the probe's {ITERS} bounded-state passes;
+    scoring is ONE corpus scan against the broadcast 1-row weight
+    vector; the report groupBy has <= 10 keys (map-side combined to
+    nothing)."""
+    e = _probe_input(spark, sf)
+    n = float(e.count())  # one bounded scalar (suite/text.py:361 precedent)
+    _, w_row = _train_probe(e, n)
+    scored = e.crossJoin(F.broadcast(w_row)).select(
+        "y",
+        F.round(_alg_sigmoid(_fold_dot(F.col("v"), F.col("wl"))), 9).alias("p"),
+    )
+    return scored.groupBy(
+        F.floor(F.col("p") * 10).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("y") == 1.0).cast("long")).alias("n_pos"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("mean_score"),
+    )
+
+
+def _apply_oracle() -> str:
+    dot = _SQL_DOT
+    ctes = _gd_ctes()
+    ctes += [
+        f"wlf AS (SELECT list(w ORDER BY pos) AS wl FROM w{ITERS})",
+        f"scored AS (SELECT y, ROUND(0.5 + z/(2*(1+abs(z))), 9) AS p FROM ("
+        f"SELECT y, {dot} AS z FROM e, wlf))",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT CAST(floor(p*10) AS INTEGER)"
+        " AS bucket, COUNT(*) AS n,"
+        " CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,"
+        " ROUND(CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)"
+        " AS mean_score"
+        " FROM scored GROUP BY 1"
+    )
+
+
+SQL_QUALITY_CLASSIFIER_APPLY = _apply_oracle()
 
 
 def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
@@ -321,4 +407,7 @@ QUERIES: dict[str, Query] = {
         q_embedding_linear_probe, SQL_EMBEDDING_LINEAR_PROBE
     ),
     "embedding_pca_power": Query(q_embedding_pca_power, SQL_EMBEDDING_PCA_POWER),
+    "quality_classifier_apply": Query(
+        q_quality_classifier_apply, SQL_QUALITY_CLASSIFIER_APPLY
+    ),
 }

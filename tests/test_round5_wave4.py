@@ -1,0 +1,203 @@
+"""Semantic invariants for the round-5 observability wave (curation6 +
+the linear-probe apply half) — properties the oracle equality check
+can't express (it proves Spark == DuckDB, not that both compute the
+RIGHT thing)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from map_reduce_implementation_spark.suite import all_queries
+
+from .conftest import SF0001
+
+QS = all_queries()
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _docs(spark):
+    from map_reduce_implementation_spark.sources import table
+
+    return sorted(
+        table(spark, SF0001, "documents").select(
+            "doc_id", "text", "lang", "source"
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+
+
+def test_cascade_waterfall_consistency_and_replay(spark):
+    """The waterfall is internally consistent (n_out[i] == n_in[i+1],
+    dropped+survivors == corpus) and a pure-Python first-fail replay
+    reproduces every stage's drop count."""
+    from map_reduce_implementation_spark.suite.curation6 import (
+        MIN_TOKENS,
+        MIN_TTR,
+        WLEN_HI,
+        WLEN_LO,
+    )
+
+    docs = _docs(spark)
+    dropped = {1: 0, 2: 0, 3: 0}
+    survivors = 0
+    for r in docs:
+        ts = _tokens(r["text"])
+        n, nd = len(ts), len(set(ts))
+        wl = sum(len(t) for t in ts) / n if n else 0.0
+        if n < MIN_TOKENS:
+            dropped[1] += 1
+        elif nd / n < MIN_TTR:
+            dropped[2] += 1
+        elif wl < WLEN_LO or wl > WLEN_HI:
+            dropped[3] += 1
+        else:
+            survivors += 1
+
+    rows = sorted(
+        QS["filter_cascade_report"].build(spark, SF0001).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage"] for r in rows] == [1, 2, 3]
+    assert rows[0]["n_in"] == len(docs)
+    for i, r in enumerate(rows):
+        assert r["n_dropped"] == dropped[r["stage"]]
+        assert r["n_out"] == r["n_in"] - r["n_dropped"]
+        if i + 1 < len(rows):
+            assert r["n_out"] == rows[i + 1]["n_in"]
+    assert rows[-1]["n_out"] == survivors
+    # every stage discriminates at this SF (thresholds are calibrated)
+    assert all(r["n_dropped"] > 0 for r in rows) and survivors > 0
+
+
+def test_token_budget_mix_conserves_budget(spark):
+    """The hierarchical split spends exactly the budget: cell targets
+    sum to MIX_BUDGET (shares at each level sum to 1), epochs equals
+    target/available per cell, and the upsampled flag matches."""
+    import math
+
+    from map_reduce_implementation_spark.suite.curation6 import MIX_BUDGET
+
+    docs = _docs(spark)
+    cell_tokens: dict[tuple[str, str], int] = {}
+    for r in docs:
+        k = (r["lang"], r["source"])
+        cell_tokens[k] = cell_tokens.get(k, 0) + len(_tokens(r["text"]))
+    lang_tokens: dict[str, int] = {}
+    for (lang, _), n in cell_tokens.items():
+        lang_tokens[lang] = lang_tokens.get(lang, 0) + n
+    g_denom = sum(math.sqrt(v) for _, v in sorted(lang_tokens.items()))
+
+    rows = QS["token_budget_mix"].build(spark, SF0001).collect()
+    assert {(r["lang"], r["source"]) for r in rows} == set(cell_tokens)
+    total_target = 0.0
+    for r in rows:
+        k = (r["lang"], r["source"])
+        assert r["cell_tokens"] == cell_tokens[k]
+        src_denom = sum(
+            math.sqrt(v)
+            for (lg, src), v in sorted(cell_tokens.items())
+            if lg == r["lang"]
+        )
+        expect = (
+            MIX_BUDGET
+            * (math.sqrt(lang_tokens[r["lang"]]) / g_denom)
+            * (math.sqrt(cell_tokens[k]) / src_denom)
+        )
+        assert abs(r["target_tokens"] - expect) < 0.5
+        assert abs(r["epochs"] - expect / cell_tokens[k]) < 1e-5
+        assert r["upsampled"] == (expect / cell_tokens[k] > 1.0)
+        total_target += r["target_tokens"]
+    assert abs(total_target - MIX_BUDGET) < 1.0
+
+
+def test_boilerplate_removal_python_replay(spark):
+    """A pure-Python within-source df count + reassembly reproduces
+    every doc's removed count and kept hash, and removal is symmetric:
+    EVERY occurrence of a boilerplate segment is gone (no keep-first)."""
+    from map_reduce_implementation_spark.suite.curation6 import (
+        BOILER_MIN_DOCS,
+        SEG_TOKENS,
+    )
+
+    docs = _docs(spark)
+    seg_docs: dict[tuple[str, str], set[int]] = {}
+    doc_segs: dict[int, tuple[str, list[str]]] = {}
+    for r in docs:
+        ts = _tokens(r["text"])
+        segs = [
+            " ".join(ts[i : i + SEG_TOKENS]) for i in range(0, len(ts), SEG_TOKENS)
+        ]
+        if segs:
+            doc_segs[r["doc_id"]] = (r["source"], segs)
+            for s in segs:
+                seg_docs.setdefault((r["source"], s), set()).add(r["doc_id"])
+
+    rows = QS["boilerplate_removal"].build(spark, SF0001).collect()
+    assert {r["doc_id"] for r in rows} == set(doc_segs)
+    for r in rows:
+        source, segs = doc_segs[r["doc_id"]]
+        kept = [s for s in segs if len(seg_docs[(source, s)]) < BOILER_MIN_DOCS]
+        assert r["n_segments"] == len(segs)
+        assert r["n_removed"] == len(segs) - len(kept)
+        assert r["kept_hash"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
+
+
+def test_cluster_stats_census_totals(spark):
+    """The census totals to the corpus: Σ n_docs == |documents|,
+    Σ n_clusters == distinct texts, Σ excess == docs dedup would drop
+    (cross-checked against dedup_exact), shares sum to 1."""
+    docs = _docs(spark)
+    from collections import Counter
+
+    sizes = Counter(Counter(r["text"] for r in docs).values())
+    rows = QS["dedup_cluster_stats"].build(spark, SF0001).collect()
+    assert {r["cluster_size"]: r["n_clusters"] for r in rows} == dict(sizes)
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    n_texts = len({r["text"] for r in docs})
+    assert sum(r["n_clusters"] for r in rows) == n_texts
+    assert sum(r["excess_docs"] for r in rows) == len(docs) - n_texts
+    assert abs(sum(r["corpus_share"] for r in rows) - 1.0) < 1e-4
+    exact = QS["dedup_exact"].build(spark, SF0001).collect()
+    assert sum(r["n_copies"] - 1 for r in exact) == sum(
+        r["excess_docs"] for r in rows
+    )
+
+
+def test_threshold_sweep_monotone_and_matches_dedup(spark):
+    """Pair/doc counts are monotone non-increasing in the threshold,
+    and the 35% row prices EXACTLY what dedup_embedding_cosine commits
+    (same blocked pairs, same keep rule)."""
+    rows = sorted(
+        QS["similarity_threshold_sweep"].build(spark, SF0001).collect(),
+        key=lambda r: r["threshold_pct"],
+    )
+    assert [r["threshold_pct"] for r in rows] == [25, 30, 35, 40]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_dup_docs"] >= b["n_dup_docs"]
+    assert rows[0]["n_pairs"] > 0  # loosest threshold sees candidates
+    dedup = QS["dedup_embedding_cosine"].build(spark, SF0001).collect()
+    at35 = next(r for r in rows if r["threshold_pct"] == 35)
+    assert at35["n_dup_docs"] == len({r["dup_vec_id"] for r in dedup})
+
+
+def test_classifier_apply_bucket_bounds_and_totals(spark):
+    """Bucket populations cover the corpus exactly once, bucket ids
+    are deciles, each bucket's mean sits inside its own bounds, and
+    positives total the corpus positives."""
+    from map_reduce_implementation_spark.sources import table
+
+    emb = table(spark, SF0001, "embeddings").collect()
+    rows = QS["quality_classifier_apply"].build(spark, SF0001).collect()
+    assert sum(r["n"] for r in rows) == len(emb)
+    assert sum(r["n_pos"] for r in rows) == sum(
+        1 for r in emb if r["label"] % 2 == 1
+    )
+    for r in rows:
+        assert 0 <= r["bucket"] <= 9
+        assert r["bucket"] / 10 - 1e-6 <= r["mean_score"] <= (r["bucket"] + 1) / 10 + 1e-6
+        assert 0 <= r["n_pos"] <= r["n"]
