@@ -132,6 +132,8 @@ HEADLINE = [
     "boilerplate_removal",
     "quality_classifier_apply",
     "similarity_threshold_sweep",
+    # round-5 wave 5: S-curve tuning from one capped pair pass
+    "minhash_band_analysis",
 ]
 
 

@@ -37,6 +37,7 @@ from . import (
     tpch2,
     tpch3,
     tpch4,
+    tuning,
     udfs,
     vector2,
 )
@@ -250,6 +251,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_stats",
     "similarity_threshold_sweep",
     "quality_classifier_apply",
+    # round-5 wave 5 — LSH S-curve priced on the corpus's measured
+    # pair-Jaccard distribution (window: 18 new + 4 re-grades <= 50)
+    "minhash_band_analysis",
 )
 
 
@@ -323,6 +327,7 @@ def all_queries() -> dict[str, Query]:
         pipeline2,
         pipeline3,
         quality,
+        tuning,
         vector2,
     ):
         for name, q in mod.QUERIES.items():

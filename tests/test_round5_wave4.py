@@ -201,3 +201,67 @@ def test_classifier_apply_bucket_bounds_and_totals(spark):
         assert 0 <= r["bucket"] <= 9
         assert r["bucket"] / 10 - 1e-6 <= r["mean_score"] <= (r["bucket"] + 1) / 10 + 1e-6
         assert 0 <= r["n_pos"] <= r["n"]
+
+
+def test_band_analysis_python_replay_and_monotone(spark):
+    """A pure-Python replay of the capped posting-list pair scan and
+    the S-curve P = 1-(1-J^r)^b reproduces every config's expected
+    counts; recall decreases as rows-per-band sharpens the curve."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from map_reduce_implementation_spark.suite.tuning import (
+        BAND_CONFIGS,
+        TUNE_MAX_DF,
+        TUNE_TARGET_J,
+    )
+
+    docs = _docs(spark)
+    doc_sh: dict[int, set[str]] = {}
+    posting = defaultdict(set)
+    for r in docs:
+        ts = _tokens(r["text"])
+        sh = {" ".join(ts[i : i + 5]) for i in range(len(ts) - 4)}
+        doc_sh[r["doc_id"]] = sh
+        for s in sh:
+            posting[s].add(r["doc_id"])
+    inter: dict[tuple[int, int], int] = defaultdict(int)
+    for s, ds in posting.items():
+        if 2 <= len(ds) <= TUNE_MAX_DF:
+            for a, b in combinations(sorted(ds), 2):
+                inter[(a, b)] += 1
+    js = [
+        i / (len(doc_sh[a]) + len(doc_sh[b]) - i)
+        for (a, b), i in inter.items()
+    ]
+    expect = {}
+    for r_, b_ in BAND_CONFIGS:
+        eh = sum(
+            round(1 - (1 - j**r_) ** b_, 9) for j in js if j >= TUNE_TARGET_J
+        )
+        el = sum(
+            round(1 - (1 - j**r_) ** b_, 9) for j in js if j < TUNE_TARGET_J
+        )
+        expect[(r_, b_)] = (
+            sum(1 for j in js if j >= TUNE_TARGET_J),
+            sum(1 for j in js if j < TUNE_TARGET_J),
+            eh,
+            el,
+        )
+
+    rows = sorted(
+        QS["minhash_band_analysis"].build(spark, SF0001).collect(),
+        key=lambda r: r["r"],
+    )
+    assert [(r["r"], r["bands"]) for r in rows] == sorted(BAND_CONFIGS)
+    for r in rows:
+        n_high, n_low, eh, el = expect[(r["r"], r["bands"])]
+        assert (r["n_high"], r["n_low"]) == (n_high, n_low)
+        assert abs(r["exp_found_high"] - eh) < 1e-4
+        assert abs(r["exp_found_low"] - el) < 1e-4
+        assert 0.0 <= r["expected_recall"] <= 1.0
+        assert r["expected_false_rate"] <= r["expected_recall"]
+    # sharper curves (more rows per band) trade recall down
+    recalls = [r["expected_recall"] for r in rows]  # ordered by r asc
+    assert recalls == sorted(recalls, reverse=True)
+    assert recalls[0] > 0.99  # the loosest config should catch ~all
