@@ -134,6 +134,8 @@ HEADLINE = [
     "similarity_threshold_sweep",
     # round-5 wave 5: S-curve tuning from one capped pair pass
     "minhash_band_analysis",
+    # round-5 wave 6: PSI drift monitor (3 corpus scans by design)
+    "events_drift_psi",
 ]
 
 

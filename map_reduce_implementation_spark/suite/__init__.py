@@ -17,6 +17,7 @@ from . import (
     curation5,
     curation6,
     dedup,
+    drift,
     events,
     graph,
     joins2,
@@ -254,6 +255,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-5 wave 5 — LSH S-curve priced on the corpus's measured
     # pair-Jaccard distribution (window: 18 new + 4 re-grades <= 50)
     "minhash_band_analysis",
+    # round-5 wave 6 — distribution-drift monitoring between the time
+    # halves (window: 20 new + 4 re-grades = 24 <= 50)
+    "events_drift_psi",
+    "events_drift_ks",
+    # round-5 wave 6b — probe calibration (ECE) on the shared GD loop
+    "quality_calibration_report",
 )
 
 
@@ -306,6 +313,7 @@ def all_queries() -> dict[str, Query]:
         curation4,
         curation5,
         curation6,
+        drift,
         sketches3,
         graph,
         tpch3,

@@ -270,6 +270,79 @@ def _apply_oracle() -> str:
 SQL_QUALITY_CLASSIFIER_APPLY = _apply_oracle()
 
 
+def q_quality_calibration_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for the
+    trained probe — the check run BEFORE a classifier's score threshold
+    is trusted: per decile bucket, mean predicted probability vs the
+    EMPIRICAL positive rate, their gap, and the bucket's ECE
+    contribution (|gap| weighted by bucket population / corpus). The
+    summed contributions ARE the standard ECE (Guo et al. 2017's
+    binned form); a well-calibrated probe has per-bucket gaps near 0.
+    Shares the GD loop and scoring with ``quality_classifier_apply``
+    verbatim — same weights, same buckets, one more derived table.
+
+    Determinism: identical weights/scores by construction; predicted
+    means are exact DECIMAL(18,9) sums divided once; empirical rates
+    and the population weight are integer-ratio divisions; the gap is
+    one subtraction of those identical doubles, rounded for display
+    AFTER the |gap|·weight product.
+
+    Scale shape: identical to the apply half (training's bounded-state
+    passes + ONE scoring scan) — the report is a second aggregation
+    over the same <= 10-key groupBy output."""
+    e = _probe_input(spark, sf)
+    n = float(e.count())  # one bounded scalar (suite/text.py:361 precedent)
+    _, w_row = _train_probe(e, n)
+    scored = e.crossJoin(F.broadcast(w_row)).select(
+        "y",
+        F.round(_alg_sigmoid(_fold_dot(F.col("v"), F.col("wl"))), 9).alias("p"),
+    )
+    b = scored.groupBy(
+        F.floor(F.col("p") * 10).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("y") == 1.0).cast("long")).alias("n_pos"),
+        F.sum(F.col("p").cast("decimal(18,9)")).alias("sp"),
+    )
+    mean_p = F.col("sp").cast("double") / F.col("n")
+    frac_pos = F.col("n_pos") / F.col("n")
+    gap = mean_p - frac_pos
+    return b.select(
+        "bucket",
+        "n",
+        F.round(mean_p, 6).alias("mean_predicted"),
+        F.round(frac_pos, 6).alias("frac_positive"),
+        F.round(gap, 6).alias("gap"),
+        F.round(F.abs(gap) * (F.col("n") / F.lit(n)), 9).alias("ece_contrib"),
+    )
+
+
+def _calibration_oracle() -> str:
+    dot = _SQL_DOT
+    ctes = _gd_ctes()
+    ctes += [
+        f"wlf AS (SELECT list(w ORDER BY pos) AS wl FROM w{ITERS})",
+        f"scored AS (SELECT y, ROUND(0.5 + z/(2*(1+abs(z))), 9) AS p FROM ("
+        f"SELECT y, {dot} AS z FROM e, wlf))",
+        "b AS (SELECT CAST(floor(p*10) AS INTEGER) AS bucket, COUNT(*) AS n,"
+        " CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,"
+        " SUM(CAST(p AS DECIMAL(18,9))) AS sp"
+        " FROM scored GROUP BY 1)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT bucket, n,"
+        " ROUND(CAST(sp AS DOUBLE) / n, 6) AS mean_predicted,"
+        " ROUND(n_pos * 1.0 / n, 6) AS frac_positive,"
+        " ROUND(CAST(sp AS DOUBLE) / n - n_pos * 1.0 / n, 6) AS gap,"
+        " ROUND(abs(CAST(sp AS DOUBLE) / n - n_pos * 1.0 / n)"
+        " * (n * 1.0 / n_all.c), 9) AS ece_contrib"
+        " FROM b, (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM e) n_all"
+    )
+
+
+SQL_QUALITY_CALIBRATION_REPORT = _calibration_oracle()
+
+
 def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     """Top principal component of the (mean-centered) embedding matrix
     by {ITERS} power iterations from the uniform unit vector
@@ -409,5 +482,8 @@ QUERIES: dict[str, Query] = {
     "embedding_pca_power": Query(q_embedding_pca_power, SQL_EMBEDDING_PCA_POWER),
     "quality_classifier_apply": Query(
         q_quality_classifier_apply, SQL_QUALITY_CLASSIFIER_APPLY
+    ),
+    "quality_calibration_report": Query(
+        q_quality_calibration_report, SQL_QUALITY_CALIBRATION_REPORT
     ),
 }

@@ -265,3 +265,107 @@ def test_band_analysis_python_replay_and_monotone(spark):
     recalls = [r["expected_recall"] for r in rows]  # ordered by r asc
     assert recalls == sorted(recalls, reverse=True)
     assert recalls[0] > 0.99  # the loosest config should catch ~all
+
+
+def test_drift_psi_python_replay(spark):
+    """A numpy replay (median split, reference deciles, Laplace
+    smoothing, term-by-term PSI) reproduces every type's PSI; PSI is
+    non-negative by construction."""
+    import numpy as np
+
+    from map_reduce_implementation_spark.sources import table
+    from map_reduce_implementation_spark.suite.drift import PSI_BINS
+
+    rows = table(spark, SF0001, "events").select(
+        "event_type", "value", F_unix_micros_col()
+    ).collect()
+    us = np.array([r["us"] for r in rows], dtype=np.float64)
+    m = np.percentile(us, 50, method="linear")
+    by_type: dict[str, tuple[list, list]] = {}
+    for r, u in zip(rows, us):
+        ref, cur = by_type.setdefault(r["event_type"], ([], []))
+        (ref if u < m else cur).append(r["value"])
+    out = {r["event_type"]: r for r in QS["events_drift_psi"].build(spark, SF0001).collect()}
+    assert set(out) == set(by_type)
+    for t, (ref, cur) in by_type.items():
+        cuts = np.percentile(
+            np.array(ref), [100 * i / PSI_BINS for i in range(1, PSI_BINS)],
+            method="linear",
+        )
+        def bins(vals):
+            c = [0] * PSI_BINS
+            for v in vals:
+                c[int(np.sum(v >= cuts))] += 1
+            return c
+        br, bc = bins(ref), bins(cur)
+        psi = 0.0
+        for i in range(PSI_BINS):
+            pr = (br[i] + 0.5) / (len(ref) + PSI_BINS * 0.5)
+            pc = (bc[i] + 0.5) / (len(cur) + PSI_BINS * 0.5)
+            psi += (pc - pr) * np.log(pc / pr)
+        r = out[t]
+        assert (r["n_ref"], r["n_cur"]) == (len(ref), len(cur))
+        assert abs(r["psi"] - psi) < 1e-6
+        assert r["psi"] >= 0.0
+        assert r["drifted"] == (r["psi"] >= 0.1)
+
+
+def test_drift_ks_python_replay(spark):
+    """A pure-Python two-sample empirical-CDF max-difference reproduces
+    every type's KS D; D is within [0, 1]."""
+    import numpy as np
+
+    from map_reduce_implementation_spark.sources import table
+
+    rows = table(spark, SF0001, "events").select(
+        "event_type", "value", F_unix_micros_col()
+    ).collect()
+    us = np.array([r["us"] for r in rows], dtype=np.float64)
+    m = np.percentile(us, 50, method="linear")
+    by_type: dict[str, tuple[list, list]] = {}
+    for r, u in zip(rows, us):
+        ref, cur = by_type.setdefault(r["event_type"], ([], []))
+        (ref if u < m else cur).append(r["value"])
+    out = {r["event_type"]: r for r in QS["events_drift_ks"].build(spark, SF0001).collect()}
+    for t, (ref, cur) in by_type.items():
+        vals = sorted(set(ref) | set(cur))
+        ra, ca = np.array(sorted(ref)), np.array(sorted(cur))
+        d = max(
+            abs(
+                np.searchsorted(ra, v, side="right") / len(ref)
+                - np.searchsorted(ca, v, side="right") / len(cur)
+            )
+            for v in vals
+        )
+        r = out[t]
+        assert (r["n_ref"], r["n_cur"]) == (len(ref), len(cur))
+        assert abs(r["ks_d"] - d) < 1e-9
+        assert 0.0 <= r["ks_d"] <= 1.0
+        assert r["drifted"] == (r["ks_d"] >= 0.05)
+
+
+def F_unix_micros_col():
+    from pyspark.sql import functions as F
+
+    return F.unix_micros("ts").alias("us")
+
+
+def test_calibration_report_consistency(spark):
+    """The calibration table is consistent with the apply half (same
+    buckets, same populations), gaps equal mean_predicted −
+    frac_positive, ECE contributions are |gap|-weighted populations,
+    and the summed ECE is within [0, 1]."""
+    rows = {r["bucket"]: r for r in
+            QS["quality_calibration_report"].build(spark, SF0001).collect()}
+    apply_rows = {r["bucket"]: r for r in
+                  QS["quality_classifier_apply"].build(spark, SF0001).collect()}
+    assert set(rows) == set(apply_rows)
+    total = sum(r["n"] for r in rows.values())
+    ece = 0.0
+    for b, r in rows.items():
+        assert r["n"] == apply_rows[b]["n"]
+        assert abs(r["gap"] - (r["mean_predicted"] - r["frac_positive"])) < 2e-6
+        assert abs(r["ece_contrib"] - abs(r["gap"]) * r["n"] / total) < 1e-5
+        assert 0.0 <= r["frac_positive"] <= 1.0
+        ece += r["ece_contrib"]
+    assert 0.0 <= ece <= 1.0
