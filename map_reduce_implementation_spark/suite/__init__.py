@@ -261,6 +261,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_drift_ks",
     # round-5 wave 6b — probe calibration (ECE) on the shared GD loop
     "quality_calibration_report",
+    # round-5 wave 6c — incremental IVF maintenance (delta assignment)
+    "similarity_index_delta",
 )
 
 

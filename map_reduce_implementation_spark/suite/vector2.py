@@ -433,8 +433,123 @@ FROM rk WHERE rank <= 5
 """
 
 
+DELTA_MOD = 10  # vec_id % 10 == 0 is the newly-arrived batch (~10%)
+DELTA_CELLS = 8  # coarse cells, first-k-of-standing-corpus centroids
+
+
+def q_similarity_index_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVF index maintenance — the ASYMMETRIC shape a
+    production vector store runs when a new embedding batch arrives:
+    assign ONLY the delta (vec_id % {DELTA_MOD} == 0, ~10%) to the
+    EXISTING cells (centroids = first-{DELTA_CELLS} standing-corpus
+    vectors, never re-clustered), and report per cell the old
+    occupancy, the arrivals, the growth, and a split-candidate flag
+    (post-delta occupancy > 2× the mean — the signal that triggers
+    cell re-training). The vector-side twin of ``dedup_incremental``:
+    per-batch cost is O(delta × cells), the standing corpus is never
+    re-assigned per batch (its occupancy is index metadata in
+    production; recomputed once here so the entry is self-contained
+    and the oracle exact).
+
+    Determinism: assignment is the proven IVF recipe — sequential-fold
+    squared-L2 against plan-literal centroids, ROW_NUMBER ties to the
+    lowest cell id; every reported number is an integer count or one
+    integer-ratio division; the split flag is a PURE INTEGER compare
+    (occupancy·cells > 2·total) — no float boundary to disagree on."""
+    from ..operators.similarity import ivf_assign
+
+    e = table(spark, sf, "embeddings")
+    standing = e.filter(F.col("vec_id") % DELTA_MOD != 0)
+    delta = e.filter(F.col("vec_id") % DELTA_MOD == 0)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in standing.orderBy("vec_id")
+        .select("embedding")
+        .limit(DELTA_CELLS)
+        .collect()
+    ]
+    old = (
+        ivf_assign(standing, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_old"))
+    )
+    new = (
+        ivf_assign(delta, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_new"))
+    )
+    j = old.join(new, "cell", "left").select(
+        "cell",
+        "n_old",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    tot = j.agg(
+        F.sum(F.col("n_old") + F.col("n_new")).alias("n_total_all")
+    )
+    n_total = F.col("n_old") + F.col("n_new")
+    return j.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_old",
+        "n_new",
+        n_total.alias("n_total"),
+        F.round(F.col("n_new") / F.col("n_old"), 6).alias("growth"),
+        (n_total * DELTA_CELLS > 2 * F.col("n_total_all")).alias(
+            "split_candidate"
+        ),
+    )
+
+
+SQL_SIMILARITY_INDEX_DELTA = f"""
+WITH standing AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % {DELTA_MOD} <> 0
+),
+delta AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % {DELTA_MOD} = 0
+),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c_id, v AS cv
+  FROM standing ORDER BY vec_id LIMIT {DELTA_CELLS}
+),
+assign_old AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT s.vec_id, c.c_id,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+        list_sum(list_transform(list_zip(s.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2])))
+        ASC, c.c_id ASC) AS rk
+    FROM standing s, cents c
+  ) WHERE rk = 1
+),
+assign_new AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT d.vec_id, c.c_id,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+        list_sum(list_transform(list_zip(d.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2])))
+        ASC, c.c_id ASC) AS rk
+    FROM delta d, cents c
+  ) WHERE rk = 1
+),
+old AS (SELECT cell, COUNT(*) AS n_old FROM assign_old GROUP BY cell),
+new_ AS (SELECT cell, COUNT(*) AS n_new FROM assign_new GROUP BY cell),
+j AS (
+  SELECT o.cell, o.n_old, CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+  FROM old o LEFT JOIN new_ n ON o.cell = n.cell
+),
+tot AS (SELECT CAST(SUM(n_old + n_new) AS BIGINT) AS n_total_all FROM j)
+SELECT CAST(j.cell AS INTEGER) AS cell, j.n_old, j.n_new,
+  CAST(j.n_old + j.n_new AS BIGINT) AS n_total,
+  ROUND(j.n_new * 1.0 / j.n_old, 6) AS growth,
+  (j.n_old + j.n_new) * {DELTA_CELLS} > 2 * tot.n_total_all AS split_candidate
+FROM j, tot
+"""
+
+
 QUERIES: dict[str, Query] = {
     "similarity_ann_pq_recall": Query(q_ann_pq_recall, SQL_ANN_PQ_RECALL),
+    "similarity_index_delta": Query(
+        q_similarity_index_delta, SQL_SIMILARITY_INDEX_DELTA
+    ),
     "embedding_quantize_int8": Query(
         q_embedding_quantize_int8, SQL_EMBEDDING_QUANTIZE_INT8
     ),

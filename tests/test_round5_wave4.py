@@ -369,3 +369,51 @@ def test_calibration_report_consistency(spark):
         assert 0.0 <= r["frac_positive"] <= 1.0
         ece += r["ece_contrib"]
     assert 0.0 <= ece <= 1.0
+
+
+def test_index_delta_python_replay(spark):
+    """A numpy replay of the first-k quantizer and both assignments
+    reproduces every cell's occupancy; the delta batch never moves a
+    standing vector, totals tie out, and the split flag is the exact
+    integer rule."""
+    import numpy as np
+
+    from map_reduce_implementation_spark.sources import table
+    from map_reduce_implementation_spark.suite.vector2 import (
+        DELTA_CELLS,
+        DELTA_MOD,
+    )
+
+    emb = sorted(
+        table(spark, SF0001, "embeddings").collect(), key=lambda r: r["vec_id"]
+    )
+    standing = [r for r in emb if r["vec_id"] % DELTA_MOD != 0]
+    delta = [r for r in emb if r["vec_id"] % DELTA_MOD == 0]
+    cents = np.array(
+        [[float(x) for x in r["embedding"]] for r in standing[:DELTA_CELLS]]
+    )
+
+    def assign(rows):
+        counts = [0] * DELTA_CELLS
+        for r in rows:
+            v = np.array([float(x) for x in r["embedding"]])
+            d2 = ((cents - v) ** 2).sum(axis=1)
+            counts[int(np.argmin(d2))] += 1  # ties: lowest index (argmin)
+        return counts
+
+    n_old, n_new = assign(standing), assign(delta)
+    rows = {r["cell"]: r for r in
+            QS["similarity_index_delta"].build(spark, SF0001).collect()}
+    total = sum(n_old) + sum(n_new)
+    for c in range(DELTA_CELLS):
+        if n_old[c] == 0:
+            assert c not in rows
+            continue
+        r = rows[c]
+        assert (r["n_old"], r["n_new"]) == (n_old[c], n_new[c])
+        assert r["n_total"] == n_old[c] + n_new[c]
+        assert r["split_candidate"] == (
+            (n_old[c] + n_new[c]) * DELTA_CELLS > 2 * total
+        )
+    assert sum(r["n_old"] for r in rows.values()) == len(standing)
+    assert sum(r["n_new"] for r in rows.values()) <= len(delta)
