@@ -55,8 +55,14 @@ def q_events_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     REFERENCE half's own deciles (the defining PSI convention — bins
     are calibrated where the model was trained, then the current
     period is poured into them). Laplace-smoothed shares keep empty
-    bins finite. Output: per type, both populations, psi, and the
-    ≥ {PSI_ALERT} alert flag.
+    bins finite, and the bin dimension is COMPLETED per type (tied
+    reference deciles can collapse cut-points; unreachable bins still
+    carry their smoothing terms, per the binned definition). Types
+    with no reference rows have no bins to calibrate and are excluded
+    by construction — a type appearing only in the current half is an
+    existence change, surfaced by ``events_type_stats``, not a PSI.
+    Output: per type, both populations, psi, and the ≥ {PSI_ALERT}
+    alert flag.
 
     Scale shape: one scan tags periods against the broadcast median;
     cut-points are one exact-percentile aggregate per type (broadcast
@@ -85,10 +91,28 @@ def q_events_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
             lambda acc, c: acc + (F.col("value") >= c).cast("int"),
         ).alias("bin"),
     )
-    counts = binned.groupBy("event_type", "bin").agg(
+    counts_obs = binned.groupBy("event_type", "bin").agg(
         F.sum(F.col("is_ref").cast("long")).alias("c_ref"),
         F.sum((~F.col("is_ref")).cast("long")).alias("c_cur"),
-    ).localCheckpoint(eager=True)  # types×bins rows; reused by tot + terms
+    )
+    # complete the bin dimension: tied reference deciles can collapse
+    # cut-points and leave bins unreachable in BOTH halves — the binned
+    # PSI definition (and its smoothing) still charges those bins, so
+    # they must appear as zero rows, not be silently absent
+    bins_dim = cuts.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1))).alias("bin"),
+    )
+    counts = (
+        bins_dim.join(counts_obs, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+        .localCheckpoint(eager=True)  # types×bins rows; reused by tot + terms
+    )
     tot = counts.groupBy("event_type").agg(
         F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
     )
@@ -131,10 +155,15 @@ def q_events_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
 _SQL_HALVES = """
 h AS (
   SELECT event_type, value, epoch_us(ts) < m.m AS is_ref
-  FROM events, (SELECT quantile_cont(epoch_us(ts), 0.5) AS m FROM events) m
+  FROM events,
+    (SELECT quantile_cont(epoch_us(ts), 0.5) AS m FROM events
+     WHERE value IS NOT NULL) m
   WHERE value IS NOT NULL
 )
 """
+# the median subquery filters NULL values exactly like the Spark side's
+# _halves (isNotNull BEFORE the percentile) — without it the two
+# engines would pick different boundaries the moment a NULL appears
 
 _PSI_FRACS = ", ".join(str(i / PSI_BINS) for i in range(1, PSI_BINS))
 
@@ -150,11 +179,22 @@ binned AS (
       AS bin
   FROM h JOIN cuts c ON h.event_type = c.event_type
 ),
-counts AS (
+counts_obs AS (
   SELECT event_type, bin,
     CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
     CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
   FROM binned GROUP BY event_type, bin
+),
+counts AS (
+  -- complete the bin dimension: bins unreachable under collapsed
+  -- cut-points still carry their smoothing terms (mirrors Spark)
+  SELECT d.event_type, d.bin,
+    CAST(coalesce(o.c_ref, 0) AS BIGINT) AS c_ref,
+    CAST(coalesce(o.c_cur, 0) AS BIGINT) AS c_cur
+  FROM (SELECT c.event_type, CAST(r.i AS INTEGER) AS bin
+        FROM cuts c, range(0, {PSI_BINS}) r(i)) d
+  LEFT JOIN counts_obs o
+    ON o.event_type = d.event_type AND o.bin = d.bin
 ),
 tot AS (
   SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
@@ -216,10 +256,17 @@ def q_events_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
     d = F.abs(
         F.col("cum_ref") / F.col("n_ref") - F.col("cum_cur") / F.col("n_cur")
     )
-    agg = cum.groupBy("event_type").agg(
-        F.first("n_ref").alias("n_ref"),
-        F.first("n_cur").alias("n_cur"),
-        F.max(d).alias("d_raw"),
+    # a type missing one half has no two-sample CDF to compare — those
+    # are existence changes (new/vanished types), a different monitor's
+    # job (events_type_stats); excluding them beats emitting NULL Ds
+    agg = (
+        cum.filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.max(d).alias("d_raw"),
+        )
     )
     return agg.select(
         "event_type",
@@ -252,7 +299,7 @@ SELECT event_type, any_value(n_ref) AS n_ref, any_value(n_cur) AS n_cur,
   ROUND(MAX(abs(cum_ref * 1.0 / n_ref - cum_cur * 1.0 / n_cur)), 9) AS ks_d,
   ROUND(MAX(abs(cum_ref * 1.0 / n_ref - cum_cur * 1.0 / n_cur)), 9) >= {KS_ALERT}
     AS drifted
-FROM cum GROUP BY event_type
+FROM cum WHERE n_ref > 0 AND n_cur > 0 GROUP BY event_type
 """
 
 

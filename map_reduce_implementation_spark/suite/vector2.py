@@ -478,9 +478,13 @@ def q_similarity_index_delta(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n_new"))
     )
-    j = old.join(new, "cell", "left").select(
+    # FULL outer: a duplicate among the first-k centroids leaves its
+    # cell with zero standing members (every tie resolves to the lower
+    # cell id) — arrivals routed there must still be reported, and the
+    # corpus total must not undercount them
+    j = old.join(new, "cell", "full").select(
         "cell",
-        "n_old",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
     tot = j.agg(
@@ -492,7 +496,9 @@ def q_similarity_index_delta(spark: SparkSession, sf: str) -> DataFrame:
         "n_old",
         "n_new",
         n_total.alias("n_total"),
-        F.round(F.col("n_new") / F.col("n_old"), 6).alias("growth"),
+        F.when(
+            F.col("n_old") > 0, F.round(F.col("n_new") / F.col("n_old"), 6)
+        ).alias("growth"),  # NULL growth for a standing-empty cell
         (n_total * DELTA_CELLS > 2 * F.col("n_total_all")).alias(
             "split_candidate"
         ),
@@ -533,13 +539,15 @@ assign_new AS (
 old AS (SELECT cell, COUNT(*) AS n_old FROM assign_old GROUP BY cell),
 new_ AS (SELECT cell, COUNT(*) AS n_new FROM assign_new GROUP BY cell),
 j AS (
-  SELECT o.cell, o.n_old, CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
-  FROM old o LEFT JOIN new_ n ON o.cell = n.cell
+  SELECT coalesce(o.cell, n.cell) AS cell,
+    CAST(coalesce(o.n_old, 0) AS BIGINT) AS n_old,
+    CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+  FROM old o FULL OUTER JOIN new_ n ON o.cell = n.cell
 ),
 tot AS (SELECT CAST(SUM(n_old + n_new) AS BIGINT) AS n_total_all FROM j)
 SELECT CAST(j.cell AS INTEGER) AS cell, j.n_old, j.n_new,
   CAST(j.n_old + j.n_new AS BIGINT) AS n_total,
-  ROUND(j.n_new * 1.0 / j.n_old, 6) AS growth,
+  CASE WHEN j.n_old > 0 THEN ROUND(j.n_new * 1.0 / j.n_old, 6) END AS growth,
   (j.n_old + j.n_new) * {DELTA_CELLS} > 2 * tot.n_total_all AS split_candidate
 FROM j, tot
 """

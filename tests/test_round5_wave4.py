@@ -406,14 +406,72 @@ def test_index_delta_python_replay(spark):
             QS["similarity_index_delta"].build(spark, SF0001).collect()}
     total = sum(n_old) + sum(n_new)
     for c in range(DELTA_CELLS):
-        if n_old[c] == 0:
-            assert c not in rows
+        if n_old[c] == 0 and n_new[c] == 0:
+            assert c not in rows  # a cell nothing was ever assigned to
             continue
         r = rows[c]
         assert (r["n_old"], r["n_new"]) == (n_old[c], n_new[c])
         assert r["n_total"] == n_old[c] + n_new[c]
+        if n_old[c] == 0:
+            assert r["growth"] is None  # standing-empty cell: no ratio
         assert r["split_candidate"] == (
             (n_old[c] + n_new[c]) * DELTA_CELLS > 2 * total
         )
+    # the full-outer report loses NO arrivals and NO standing members
     assert sum(r["n_old"] for r in rows.values()) == len(standing)
-    assert sum(r["n_new"] for r in rows.values()) <= len(delta)
+    assert sum(r["n_new"] for r in rows.values()) == len(delta)
+
+
+def test_drift_nulls_and_new_types_match_oracle(spark, tmp_path):
+    """Regression for the two drift edge cases the shipped data never
+    exercises: NULL values must not move the median boundary (both
+    engines filter BEFORE the percentile), and a type existing only in
+    one half is excluded from BOTH monitors in BOTH engines (an
+    existence change, not a drift statistic)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # type 'a': both halves, drifting values; plus NULLs scattered in
+    for i in range(40):
+        rows.append(("a", float(i % 7) + (10.0 if i >= 20 else 0.0),
+                     base + dt.timedelta(hours=i)))
+    for i in (3, 17, 33):
+        rows.append(("a", None, base + dt.timedelta(hours=i, minutes=30)))
+    # type 'newtype': second half only — must be absent from both reports
+    for i in range(25, 35):
+        rows.append(("newtype", float(i), base + dt.timedelta(hours=i)))
+    pdf = pd.DataFrame(rows, columns=["event_type", "value", "ts"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["user_id"] = 0
+    pdf["props"] = "{}"
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    from map_reduce_implementation_spark.suite.drift import (
+        SQL_EVENTS_DRIFT_KS,
+        SQL_EVENTS_DRIFT_PSI,
+    )
+
+    for name in ("events_drift_psi", "events_drift_ks"):
+        sdf = QS[name].build(spark, str(tmp_path)).toPandas()
+        osql = SQL_EVENTS_DRIFT_PSI if name.endswith("psi") else SQL_EVENTS_DRIFT_KS
+        odf = con.execute(osql).df()
+        assert sorted(sdf["event_type"]) == sorted(odf["event_type"]) == ["a"]
+        s = sdf.sort_values("event_type").reset_index(drop=True)
+        o = odf.sort_values("event_type").reset_index(drop=True)
+        for col in s.columns:
+            for a, b in zip(s[col], o[col]):
+                assert a == b, (name, col, a, b)
+        # NULLs excluded from populations (25+15 = the 40 non-null 'a'
+        # rows; the global median sits inside newtype's late cluster)
+        assert int(s["n_ref"][0]) == 25 and int(s["n_cur"][0]) == 15
+    # the engineered jump in 'a' is strong enough to alert on both
+    psi = QS["events_drift_psi"].build(spark, str(tmp_path)).collect()[0]
+    ks = QS["events_drift_ks"].build(spark, str(tmp_path)).collect()[0]
+    assert psi["drifted"] and ks["drifted"]
