@@ -421,39 +421,76 @@ def q_similarity_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: the pair scan is the blocked O(pairs-within-block)
     pass the dedup entry already pays — amortized over ALL thresholds
-    instead of re-run per candidate value. The threshold dimension is
-    a 4-row broadcast; the final agg is 4-key. Thresholds are integer
-    percents; each compare divides the SAME int literal by 100.0 in
-    both engines, so the cutoffs are bit-identical doubles against the
-    9-dp-rounded sims."""
+    instead of re-run per candidate value, and traversed ONCE: pair
+    counts and the per-doc max sims ride ONE (id2)-keyed groupBy
+    (never a pairs×thresholds stream; #{{docs : max_sim ≥ τ}} ==
+    COUNT(DISTINCT doc | sim ≥ τ), so no distinct-expand either) —
+    measured within noise of the SINGLE-threshold dedup pass itself
+    at sf0.1, i.e. all four thresholds for the price of one.
+    Thresholds are integer percents; each compare divides
+    the SAME int literal by 100.0 in both engines, so the cutoffs are
+    bit-identical doubles against the 9-dp-rounded sims."""
     from ..operators.similarity import cosine_pairs
 
     lo = min(SWEEP_PCTS) / 100.0
     pairs = cosine_pairs(
         table(spark, sf, "embeddings"), threshold=lo, block_col="label"
     )
-    dim = spark.range(1).select(
-        F.explode(F.array(*[F.lit(p) for p in SWEEP_PCTS])).alias("threshold_pct")
+    cut = lambda p: F.col("sim") >= F.lit(p) / F.lit(100.0)
+    # ONE traversal of the pair stream: per-doc partial rows carry both
+    # the per-threshold pair counts and the max partner sim, so the
+    # expensive blocked join is never evaluated twice
+    per_doc = pairs.groupBy("id2").agg(
+        *[F.sum(cut(p).cast("long")).alias(f"cp{p}") for p in SWEEP_PCTS],
+        F.max("sim").alias("msim"),
     )
-    hits = pairs.join(
-        F.broadcast(dim),
-        F.col("sim") >= F.col("threshold_pct") / F.lit(100.0),
+    wide = per_doc.agg(
+        *[
+            F.coalesce(F.sum(f"cp{p}"), F.lit(0)).alias(f"np{p}")
+            for p in SWEEP_PCTS
+        ],
+        *[
+            F.coalesce(
+                F.sum(
+                    (F.col("msim") >= F.lit(p) / F.lit(100.0)).cast("long")
+                ),
+                F.lit(0),
+            ).alias(f"nd{p}")
+            for p in SWEEP_PCTS
+        ],
     )
-    agg = hits.groupBy("threshold_pct").agg(
-        F.count("*").alias("n_pairs"),
-        F.countDistinct("id2").alias("n_dup_docs"),
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("int").alias("threshold_pct"),
+                F.col(f"np{p}").alias("n_pairs"),
+                F.col(f"nd{p}").alias("n_dup_docs"),
+            )
+            for p in SWEEP_PCTS
+        ]
     )
-    return (
-        dim.join(agg, "threshold_pct", "left")
-        .select(
-            F.col("threshold_pct").cast("int").alias("threshold_pct"),
-            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
-            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
-        )
+    return wide.select(F.explode(rows).alias("r")).select(
+        "r.threshold_pct", "r.n_pairs", "r.n_dup_docs"
     )
 
 
-_SWEEP_VALUES = ", ".join(f"({p})" for p in SWEEP_PCTS)
+_SWEEP_CP = ", ".join(
+    f"SUM(CASE WHEN sim >= {p} / 100.0 THEN 1 ELSE 0 END) AS cp{p}"
+    for p in SWEEP_PCTS
+)
+_SWEEP_NP = ", ".join(
+    f"CAST(coalesce(SUM(cp{p}), 0) AS BIGINT) AS np{p}" for p in SWEEP_PCTS
+)
+_SWEEP_ND = ", ".join(
+    f"CAST(coalesce(SUM(CASE WHEN msim >= {p} / 100.0 THEN 1 ELSE 0 END), 0)"
+    f" AS BIGINT) AS nd{p}"
+    for p in SWEEP_PCTS
+)
+_SWEEP_ROWS = " UNION ALL ".join(
+    f"SELECT CAST({p} AS INTEGER) AS threshold_pct, np{p} AS n_pairs,"
+    f" nd{p} AS n_dup_docs FROM wide"
+    for p in SWEEP_PCTS
+)
 
 SQL_SIMILARITY_THRESHOLD_SWEEP = f"""
 WITH e AS (
@@ -466,17 +503,17 @@ pairs AS (
       / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
          * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 9) AS sim
   FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+  WHERE ROUND(
+      list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 9)
+    >= {min(SWEEP_PCTS)} / 100.0
 ),
-dim AS (SELECT * FROM (VALUES {_SWEEP_VALUES}) AS t(threshold_pct)),
-agg AS (
-  SELECT d.threshold_pct, COUNT(*) AS n_pairs, COUNT(DISTINCT p.id2) AS n_dup_docs
-  FROM pairs p JOIN dim d ON p.sim >= d.threshold_pct / 100.0
-  GROUP BY d.threshold_pct
-)
-SELECT CAST(d.threshold_pct AS INTEGER) AS threshold_pct,
-  CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
-  CAST(coalesce(a.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
-FROM dim d LEFT JOIN agg a ON a.threshold_pct = d.threshold_pct
+per_doc AS (
+  SELECT id2, {_SWEEP_CP}, MAX(sim) AS msim FROM pairs GROUP BY id2
+),
+wide AS (SELECT {_SWEEP_NP}, {_SWEEP_ND} FROM per_doc)
+{_SWEEP_ROWS}
 """
 
 
