@@ -347,6 +347,49 @@ def _ensure_embs_xn(spark, copies: int, dirname: str) -> bool:
         return False
 
 
+def _ensure_events_xn(spark, copies: int, dirname: str) -> bool:
+    """``copies``× events stream in the same scale dir (event_id shifted
+    per copy; ts/type/value kept so the VALUE DISTRIBUTION is identical
+    — a 10× denser stream of the same process, which is exactly what a
+    drift monitor sees when traffic grows). Backs the events-family
+    scaling row. Written from the NORMALIZED events frame (micros ts)
+    so the scale copy reads back through the same table() shim."""
+    out_dir = os.path.join(REPO, ".bench_data", dirname)
+    path = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(path):
+        return True
+    try:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from map_reduce_implementation_spark.sources import table as _table
+
+        base = _table(spark, SF_DIR, "events")
+        cols = base.columns
+        dfn = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                base.select(
+                    *[
+                        (F.col("event_id") + F.lit(i * 10_000_000)).alias(
+                            "event_id"
+                        )
+                        if c == "event_id"
+                        else F.col(c)
+                        for c in cols
+                    ]
+                )
+                for i in range(copies)
+            ],
+        )
+        dfn.write.mode("overwrite").parquet(path)
+        return True
+    except Exception as exc:
+        print(f"{dirname}/events unavailable: {exc}", file=sys.stderr)
+        return False
+
+
 def _time(fn, warmup: bool = True, runs: int = 3) -> float:
     """Best-of-N after a warm-up — the same protocol BASELINE.md used to
     measure the reference (best of 3, warm cache)."""
@@ -441,6 +484,22 @@ def main() -> int:
                 }
             except Exception as exc:
                 print(f"scaling bench dedup_semantic failed: {exc}", file=sys.stderr)
+            spark.catalog.clearCache()
+        # events family (drift monitor): 10× denser stream of the same
+        # process — 3 bounded corpus scans + cell-sized aggregates, so
+        # the slope should read as flat as any pure-scan job
+        if _ensure_events_xn(spark, 10, "docs_x10"):
+            dq = qs["events_drift_psi"]
+            try:
+                scaling["events_drift_psi"] = _scale_row(
+                    lambda: _run_noop(dq.build(spark, SF_DIR)),
+                    lambda: _run_noop(dq.build(spark, x10)),
+                )
+            except Exception as exc:
+                print(
+                    f"scaling bench events_drift_psi failed: {exc}",
+                    file=sys.stderr,
+                )
             spark.catalog.clearCache()
     x100 = _ensure_docs_xn(spark, 100, "docs_x100")
     for x100_q in SCALE_X100_QUERIES:
