@@ -136,6 +136,16 @@ HEADLINE = [
     "minhash_band_analysis",
     # round-5 wave 6: PSI drift monitor (3 corpus scans by design)
     "events_drift_psi",
+    # round-5 tail: the remaining wave-4/6 entries, plus
+    # dedup_embedding_cosine so the committed record carries the
+    # single-threshold pass the sweep claims cost-parity with
+    "dedup_embedding_cosine",
+    "events_drift_ks",
+    "quality_calibration_report",
+    "similarity_index_delta",
+    "filter_cascade_report",
+    "token_budget_mix",
+    "dedup_cluster_stats",
 ]
 
 

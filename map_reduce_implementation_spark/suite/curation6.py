@@ -426,7 +426,9 @@ def q_similarity_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
     (never a pairs×thresholds stream; #{{docs : max_sim ≥ τ}} ==
     COUNT(DISTINCT doc | sim ≥ τ), so no distinct-expand either) —
     measured within noise of the SINGLE-threshold dedup pass itself
-    at sf0.1, i.e. all four thresholds for the price of one.
+    at sf0.1, i.e. all four thresholds for the price of one (the bench
+    HEADLINE carries ``dedup_embedding_cosine`` alongside this entry
+    so the committed run records show the pair).
     Thresholds are integer percents; each compare divides
     the SAME int literal by 100.0 in both engines, so the cutoffs are
     bit-identical doubles against the 9-dp-rounded sims."""
