@@ -146,6 +146,7 @@ HEADLINE = [
     "filter_cascade_report",
     "token_budget_mix",
     "dedup_cluster_stats",
+    "similarity_matryoshka_recall",
 ]
 
 

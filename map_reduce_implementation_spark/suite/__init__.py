@@ -263,6 +263,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_calibration_report",
     # round-5 wave 6c — incremental IVF maintenance (delta assignment)
     "similarity_index_delta",
+    # round-5 wave 6d — Matryoshka prefix-truncation recall table
+    "similarity_matryoshka_recall",
 )
 
 

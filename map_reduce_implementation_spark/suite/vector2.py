@@ -433,6 +433,102 @@ FROM rk WHERE rank <= 5
 """
 
 
+MRL_DIMS = (8, 16, 32, 64)  # nested prefix lengths, full dim last
+
+
+def q_similarity_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022, MRL):
+    rank the corpus against the query using only the FIRST d dims of
+    every embedding, for each nested prefix d in {MRL_DIMS}, and
+    report recall@{TOP_K} against the full-dimension exact ranking —
+    the table that decides how small the stored/search-time prefix can
+    go before retrieval quality pays. The full-dim row is the built-in
+    sanity check (recall 1.0 by construction).
+
+    Determinism: truncated cosines are sequential folds over sliced
+    arrays, ROUND(·, 9), ties broken by vec_id — the proven ANN-recall
+    recipe per prefix; hit counts are exact integers.
+
+    Scale shape: one TakeOrderedAndProject top-{TOP_K} branch per
+    prefix over a column-pruned scan (the ``hybrid_rrf_topk``
+    two-branch pattern, 4 branches here) — per-partition heaps, never
+    a global sort; the intersections join {TOP_K}-row sets. Cost is
+    |dims| pruned scans, each reading ONLY the prefix it ranks with
+    once the store is truncation-laid-out."""
+    from ..operators.similarity import _as_double, dot, lit_vector, norm
+    from .similarity import QUERY_VEC_ID, TOP_K, _query_vec
+
+    e = table(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf)
+
+    def topk_at(d: int) -> DataFrame:
+        v = F.slice(_as_double("embedding"), 1, d)
+        q = F.slice(_as_double(lit_vector(qv)), 1, d)
+        sim = F.round(dot(v, q) / (norm(v) * norm(q)), 9)
+        return (
+            e.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .select("vec_id", sim.alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("vec_id"))
+            .limit(TOP_K)
+            .select("vec_id")
+        )
+
+    full = topk_at(max(MRL_DIMS)).localCheckpoint(eager=True)  # TOP_K rows
+    parts = []
+    for d in MRL_DIMS:
+        hits = topk_at(d).join(full, "vec_id").agg(
+            F.count("*").alias("hits")
+        )
+        parts.append(
+            hits.select(
+                F.lit(d).cast("int").alias("dim"),
+                "hits",
+                (F.col("hits").cast("double") / TOP_K).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _mrl_oracle() -> str:
+    from .similarity import QUERY_VEC_ID, TOP_K
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})",
+    ]
+    sels = []
+    for d in MRL_DIMS:
+        sim = (
+            f"ROUND(list_sum(list_transform(list_zip(e.v[1:{d}], q.qv[1:{d}]),"
+            f" x -> x[1]*x[2]))"
+            f" / (sqrt(list_sum(list_transform(e.v[1:{d}], x -> x*x)))"
+            f" * sqrt(list_sum(list_transform(q.qv[1:{d}], x -> x*x)))), 9)"
+        )
+        ctes.append(
+            f"t{d} AS (SELECT vec_id FROM ("
+            f"SELECT e.vec_id, {sim} AS sim FROM e, q"
+            f" WHERE e.vec_id <> {QUERY_VEC_ID})"
+            f" ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K})"
+        )
+    fd = max(MRL_DIMS)
+    for d in MRL_DIMS:
+        hit = (
+            f"(SELECT COUNT(*) FROM t{d} a JOIN t{fd} b"
+            f" ON a.vec_id = b.vec_id)"
+        )
+        sels.append(
+            f"SELECT CAST({d} AS INTEGER) AS dim, {hit} AS hits,"
+            f" {hit} * 1.0 / {TOP_K} AS recall_at_k"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sels)
+
+
+SQL_SIMILARITY_MATRYOSHKA_RECALL = _mrl_oracle()
+
+
 DELTA_MOD = 10  # vec_id % 10 == 0 is the newly-arrived batch (~10%)
 DELTA_CELLS = 8  # coarse cells, first-k-of-standing-corpus centroids
 
@@ -557,6 +653,9 @@ QUERIES: dict[str, Query] = {
     "similarity_ann_pq_recall": Query(q_ann_pq_recall, SQL_ANN_PQ_RECALL),
     "similarity_index_delta": Query(
         q_similarity_index_delta, SQL_SIMILARITY_INDEX_DELTA
+    ),
+    "similarity_matryoshka_recall": Query(
+        q_similarity_matryoshka_recall, SQL_SIMILARITY_MATRYOSHKA_RECALL
     ),
     "embedding_quantize_int8": Query(
         q_embedding_quantize_int8, SQL_EMBEDDING_QUANTIZE_INT8

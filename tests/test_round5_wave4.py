@@ -475,3 +475,45 @@ def test_drift_nulls_and_new_types_match_oracle(spark, tmp_path):
     psi = QS["events_drift_psi"].build(spark, str(tmp_path)).collect()[0]
     ks = QS["events_drift_ks"].build(spark, str(tmp_path)).collect()[0]
     assert psi["drifted"] and ks["drifted"]
+
+
+def test_matryoshka_recall_numpy_replay(spark):
+    """A numpy replay of the per-prefix truncated-cosine rankings
+    reproduces every recall; the full-dim row is exactly 1.0 and
+    recall is monotone non-decreasing in the prefix length here
+    (asserted on the replay, not assumed of MRL in general)."""
+    import numpy as np
+
+    from map_reduce_implementation_spark.sources import table
+    from map_reduce_implementation_spark.suite.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+    )
+    from map_reduce_implementation_spark.suite.vector2 import MRL_DIMS
+
+    emb = sorted(
+        table(spark, SF0001, "embeddings").collect(), key=lambda r: r["vec_id"]
+    )
+    vecs = {r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+            for r in emb}
+    qv = vecs[QUERY_VEC_ID]
+
+    def topk(d):
+        sims = []
+        for vid, v in vecs.items():
+            if vid == QUERY_VEC_ID:
+                continue
+            a, b = v[:d], qv[:d]
+            s = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 9)
+            sims.append((-s, vid))
+        return {vid for _, vid in sorted(sims)[:TOP_K]}
+
+    full = topk(max(MRL_DIMS))
+    rows = {r["dim"]: r for r in
+            QS["similarity_matryoshka_recall"].build(spark, SF0001).collect()}
+    assert set(rows) == set(MRL_DIMS)
+    for d in MRL_DIMS:
+        expect = len(topk(d) & full)
+        assert rows[d]["hits"] == expect
+        assert abs(rows[d]["recall_at_k"] - expect / TOP_K) < 1e-9
+    assert rows[max(MRL_DIMS)]["recall_at_k"] == 1.0
