@@ -275,19 +275,15 @@ def _scale_row(build1, build10, pairs: int = 3) -> dict:
     }
 
 
-def _ensure_docs_xn(spark, copies: int, dirname: str) -> str | None:
-    """A ``copies``× documents corpus for the scaling rows: each copy
-    shifts doc_id and appends a copy-marker token, so interior shingles
-    get ~copies× document frequency (the max_df cap must do real work)
-    while doc identities stay distinct. Written once, reused across
-    rounds.
-
-    Why these rows exist: the 100 TB claims for the dedup family rest
-    on the capped/posting-list and LSH shapes being linear in corpus
-    size. Measured slopes (sf0.1 vs 10× vs 100×) make that an observed
-    fact instead of a design argument."""
+def _ensure_xn(spark, copies, dirname, fname, id_col, reader, mutate=None):
+    """Shared corpus-multiplier for the scaling rows: union ``copies``
+    shifted copies of one sf table into ``.bench_data/<dirname>``.
+    Each copy shifts ``id_col`` by i·10_000_000 so identities stay
+    distinct; ``mutate(df, i)`` lets a family layer a per-copy content
+    change on top. Written once, reused across rounds. Returns the
+    scale dir, or None on failure."""
     out_dir = os.path.join(REPO, ".bench_data", dirname)
-    path = os.path.join(out_dir, "documents.parquet")
+    path = os.path.join(out_dir, fname)
     if os.path.exists(path):
         return out_dir
     try:
@@ -295,20 +291,19 @@ def _ensure_docs_xn(spark, copies: int, dirname: str) -> str | None:
 
         from pyspark.sql import functions as F
 
-        base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        base = reader(spark)
         cols = base.columns
 
         def copy_df(i: int):
-            return base.select(
+            df = base.select(
                 *[
-                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id")
-                    if c == "doc_id"
-                    else F.concat(F.col("text"), F.lit(f" cpymark{i}")).alias("text")
-                    if c == "text"
+                    (F.col(id_col) + F.lit(i * 10_000_000)).alias(id_col)
+                    if c == id_col
                     else F.col(c)
                     for c in cols
                 ]
             )
+            return mutate(df, i) if mutate else df
 
         dfn = reduce(
             lambda a, b: a.unionByName(b),
@@ -317,8 +312,33 @@ def _ensure_docs_xn(spark, copies: int, dirname: str) -> str | None:
         dfn.write.mode("overwrite").parquet(path)
         return out_dir
     except Exception as exc:
-        print(f"{dirname} unavailable: {exc}", file=sys.stderr)
+        print(f"{dirname}/{fname} unavailable: {exc}", file=sys.stderr)
         return None
+
+
+def _ensure_docs_xn(spark, copies: int, dirname: str) -> str | None:
+    """A ``copies``× documents corpus: each copy shifts doc_id and
+    appends a copy-marker token, so interior shingles get ~copies×
+    document frequency (the max_df cap must do real work) while doc
+    identities stay distinct.
+
+    Why these rows exist: the 100 TB claims for the dedup family rest
+    on the capped/posting-list and LSH shapes being linear in corpus
+    size. Measured slopes (sf0.1 vs 10× vs 100×) make that an observed
+    fact instead of a design argument."""
+    from pyspark.sql import functions as F
+
+    return _ensure_xn(
+        spark,
+        copies,
+        dirname,
+        "documents.parquet",
+        "doc_id",
+        lambda s: s.read.parquet(os.path.join(SF_DIR, "documents.parquet")),
+        mutate=lambda df, i: df.withColumn(
+            "text", F.concat(F.col("text"), F.lit(f" cpymark{i}"))
+        ),
+    )
 
 
 def _ensure_embs_xn(spark, copies: int, dirname: str) -> bool:
@@ -326,36 +346,17 @@ def _ensure_embs_xn(spark, copies: int, dirname: str) -> bool:
     shifted per copy so identities stay distinct while every vector
     gains ``copies``−1 exact semantic duplicates — the dedup must do
     real work). Backs the vector-family scaling row."""
-    out_dir = os.path.join(REPO, ".bench_data", dirname)
-    path = os.path.join(out_dir, "embeddings.parquet")
-    if os.path.exists(path):
-        return True
-    try:
-        from functools import reduce
-
-        from pyspark.sql import functions as F
-
-        base = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-        cols = base.columns
-        dfn = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                base.select(
-                    *[
-                        (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id")
-                        if c == "vec_id"
-                        else F.col(c)
-                        for c in cols
-                    ]
-                )
-                for i in range(copies)
-            ],
+    return (
+        _ensure_xn(
+            spark,
+            copies,
+            dirname,
+            "embeddings.parquet",
+            "vec_id",
+            lambda s: s.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")),
         )
-        dfn.write.mode("overwrite").parquet(path)
-        return True
-    except Exception as exc:
-        print(f"{dirname}/embeddings unavailable: {exc}", file=sys.stderr)
-        return False
+        is not None
+    )
 
 
 def _ensure_events_xn(spark, copies: int, dirname: str) -> bool:
@@ -365,40 +366,19 @@ def _ensure_events_xn(spark, copies: int, dirname: str) -> bool:
     drift monitor sees when traffic grows). Backs the events-family
     scaling row. Written from the NORMALIZED events frame (micros ts)
     so the scale copy reads back through the same table() shim."""
-    out_dir = os.path.join(REPO, ".bench_data", dirname)
-    path = os.path.join(out_dir, "events.parquet")
-    if os.path.exists(path):
-        return True
-    try:
-        from functools import reduce
+    from map_reduce_implementation_spark.sources import table as _table
 
-        from pyspark.sql import functions as F
-
-        from map_reduce_implementation_spark.sources import table as _table
-
-        base = _table(spark, SF_DIR, "events")
-        cols = base.columns
-        dfn = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                base.select(
-                    *[
-                        (F.col("event_id") + F.lit(i * 10_000_000)).alias(
-                            "event_id"
-                        )
-                        if c == "event_id"
-                        else F.col(c)
-                        for c in cols
-                    ]
-                )
-                for i in range(copies)
-            ],
+    return (
+        _ensure_xn(
+            spark,
+            copies,
+            dirname,
+            "events.parquet",
+            "event_id",
+            lambda s: _table(s, SF_DIR, "events"),
         )
-        dfn.write.mode("overwrite").parquet(path)
-        return True
-    except Exception as exc:
-        print(f"{dirname}/events unavailable: {exc}", file=sys.stderr)
-        return False
+        is not None
+    )
 
 
 def _time(fn, warmup: bool = True, runs: int = 3) -> float:

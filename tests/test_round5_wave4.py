@@ -479,9 +479,10 @@ def test_drift_nulls_and_new_types_match_oracle(spark, tmp_path):
 
 def test_matryoshka_recall_numpy_replay(spark):
     """A numpy replay of the per-prefix truncated-cosine rankings
-    reproduces every recall; the full-dim row is exactly 1.0 and
-    recall is monotone non-decreasing in the prefix length here
-    (asserted on the replay, not assumed of MRL in general)."""
+    reproduces every recall, and the full-dim row is exactly 1.0.
+    (Recall is NOT monotone in prefix length on this random fixture —
+    sf0.001 reads 0.2/0.1/0.0/1.0 — because untrained embeddings have
+    no MRL structure; only the exact per-dim hit counts are asserted.)"""
     import numpy as np
 
     from map_reduce_implementation_spark.sources import table
