@@ -70,16 +70,48 @@ def cosine_topk(
     return df.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
+# candidate guard band for the gemm fast path: cosine error of a
+# float64 BLAS gemm vs the sequential fold is ~1e-15·dim — 1e-6 is
+# nine orders of safety, while still pruning ~everything below the
+# threshold before the exact verify pass
+_GEMM_GUARD = 1e-6
+# gemm row-chunk: bounds kernel memory to chunk×block_rows doubles
+# even when a block is large, without changing the candidate set
+_GEMM_CHUNK = 2048
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float,
     block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_scan: bool = False,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, optionally blocked on a key
     (e.g. a label or an LSH bucket) so the join is never a full cross
-    product. Returns DataFrame[id1, id2, sim]."""
+    product. Returns DataFrame[id1, id2, sim].
+
+    Plan (blocked, default): **sketch-then-verify.** Candidates come
+    from a per-block numpy gemm (Arrow-batched ``applyInPandas``; one
+    shuffle on the block key; BLAS does the O(n²/blocks) work instead
+    of ~dim interpreted fold steps per pair) kept at
+    ``threshold − 1e-6``; survivors join back to the vectors and are
+    re-scored with the SAME sequential-fold expression the all-pairs
+    scan uses, rounded to 9 dp, then filtered at the real threshold —
+    so the output is bit-identical to ``exact_scan=True`` while the
+    quadratic term runs in BLAS. The guard band keeps every pair whose
+    exact rounded sim could reach the threshold (fold-vs-gemm error
+    ~1e-15 ≪ 1e-6); NaN sims (zero-norm vectors) are kept as
+    candidates (``~(S < cut)``) so Spark's NaN-is-largest filter
+    semantics are reproduced by the verify pass, not decided in numpy.
+
+    Scale: per-block candidate matrices are chunked (``_GEMM_CHUNK``
+    rows per gemm) so kernel memory is bounded even on a skewed block;
+    the verify join carries only (id1, id2) pairs — the 100 TB-side
+    vectors never cross the Python boundary twice. ``exact_scan=True``
+    keeps the pure-JVM join scan (also the ``block_col=None`` path,
+    where there is no group to ship a kernel to)."""
     # each side carries its norm as a column computed ONCE per row —
     # sim = dot/(n1*n2) is the float-identical expression to
     # cosine(v1, v2) (same ops, same order) but skips recomputing both
@@ -96,18 +128,56 @@ def cosine_pairs(
         norm(_as_double(vec_col)).alias("n2"),
         *([F.col(block_col).alias("blk2")] if block_col else []),
     )
+    sim_expr = F.round(
+        dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 9
+    ).alias("sim")
+    if block_col and not exact_scan:
+        import pandas as pd
+
+        cut = float(threshold) - _GEMM_GUARD
+
+        def _candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )[order]
+            n = len(ids)
+            if n < 2:
+                return pd.DataFrame({"id1": [], "id2": []}).astype("int64")
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Xn = X / np.sqrt((X * X).sum(axis=1))[:, None]
+            cols = np.arange(n)[None, :]
+            o1, o2 = [], []
+            for s in range(0, n, _GEMM_CHUNK):
+                e = min(s + _GEMM_CHUNK, n)
+                S = Xn[s:e] @ Xn.T
+                # keep NaN (~(S < cut)) and the strict upper triangle
+                with np.errstate(invalid="ignore"):
+                    mask = ~(S < cut) & (cols > np.arange(s, e)[:, None])
+                r, c = np.nonzero(mask)
+                o1.append(ids[r + s])
+                o2.append(ids[c])
+            return pd.DataFrame(
+                {"id1": np.concatenate(o1), "id2": np.concatenate(o2)}
+            )
+
+        cand = embeddings.groupBy(block_col).applyInPandas(
+            _candidates, "id1 long, id2 long"
+        )
+        return (
+            cand.join(x.drop("blk"), "id1")
+            .join(y.drop("blk2"), "id2")
+            .select("id1", "id2", sim_expr)
+            .filter(F.col("sim") >= threshold)
+        )
     cond = F.col("id1") < F.col("id2")
     if block_col:
         cond = cond & (F.col("blk") == F.col("blk2"))
     return (
         x.join(y, cond)
-        .select(
-            "id1",
-            "id2",
-            F.round(
-                dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 9
-            ).alias("sim"),
-        )
+        .select("id1", "id2", sim_expr)
         .filter(F.col("sim") >= threshold)
     )
 

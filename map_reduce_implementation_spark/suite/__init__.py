@@ -65,6 +65,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # real WAV decode on the audio slice, both newly oracle-graded
     "multimodal_resize",
     "multimodal_audio_decode",
+    # round-5 plan change (values bit-identical, re-grade anyway):
+    # cosine_pairs consumers now take the gemm-candidate + exact-verify
+    # path (operators/similarity.py) — the other consumers already
+    # enter the window (dedup_embedding_cosine sits in this head a few
+    # slots down; similarity_threshold_sweep is new-this-round and
+    # unchecked, so it is graded regardless of position)
+    "similarity_cosine_pairs",
     "pipeline_curation",
     "dedup_exact",
     "dedup_keep_first",
@@ -75,7 +82,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "similarity_cosine_topk",
-    "similarity_cosine_pairs",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "embedding_norms",

@@ -292,3 +292,69 @@ def test_semantic_graded_matches_fold_path(spark):
         for r in q_dedup_semantic_graded(spark, SF001).collect()
     }
     assert fold == graded and any(not kept for _, kept in graded.values())
+
+
+def test_cosine_pairs_gemm_matches_exact_scan_adversarially(spark):
+    """The gemm-candidate fast path must be BIT-IDENTICAL to the pure-JVM
+    all-pairs scan on inputs engineered at its weak points: (a) sims
+    sitting exactly ON and epsilon-around the threshold (the guard band
+    must not change the kept set), (b) a zero-norm vector — under ANSI
+    mode (Spark 4 default) the exact scan RAISES on the 0/0 divide, and
+    the kernel forwards NaN candidates (``~(S < cut)``) so the verify
+    pass raises the SAME error instead of silently dropping the pair,
+    (c) a single-row block and (d) a block bigger than one gemm chunk
+    exercised via a tiny chunk monkeypatch."""
+    import math
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    from map_reduce_implementation_spark.operators import similarity as sim_mod
+    from map_reduce_implementation_spark.operators.similarity import cosine_pairs
+
+    thr = 0.5
+    # block 0: unit-x, exactly-at-threshold (cos=0.5), just-below and
+    # just-above; block 1: a singleton (no pairs)
+    a = math.radians(60.0)
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [math.cos(a), math.sin(a)], 0),                    # cos ~= 0.5
+        (3, [math.cos(a + 1e-4), math.sin(a + 1e-4)], 0),      # just below
+        (4, [math.cos(a - 1e-4), math.sin(a - 1e-4)], 0),      # just above
+        (6, [0.0, 1.0], 1),                                    # singleton block
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    fast = sorted(map(tuple, cosine_pairs(df, thr, block_col="label").collect()))
+    slow = sorted(
+        map(
+            tuple,
+            cosine_pairs(df, thr, block_col="label", exact_scan=True).collect(),
+        )
+    )
+    assert fast == slow
+    assert {(p, q) for p, q, _ in fast} >= {(1, 4)}  # just-above kept
+    assert all((p, q) != (1, 3) for p, q, _ in fast)  # just-below dropped
+
+    # chunking: force multiple gemm chunks over the 4-row block
+    old = sim_mod._GEMM_CHUNK
+    sim_mod._GEMM_CHUNK = 2
+    try:
+        fast2 = sorted(
+            map(tuple, cosine_pairs(df, thr, block_col="label").collect())
+        )
+    finally:
+        sim_mod._GEMM_CHUNK = old
+    assert fast2 == slow
+
+    # zero-norm vector: both paths must surface the ANSI 0/0 error —
+    # the fast path must NOT silently succeed where the scan raises
+    zdf = spark.createDataFrame(
+        rows + [(5, [0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with _pytest.raises(ArithmeticException):
+        cosine_pairs(zdf, thr, block_col="label", exact_scan=True).collect()
+    with _pytest.raises(ArithmeticException):
+        cosine_pairs(zdf, thr, block_col="label").collect()

@@ -41,6 +41,11 @@ PYTHON_OK = {
     "dedup_semantic",
     "dedup_semantic_graded",
     "letter_counter",
+    # cosine_pairs gemm candidate kernel (sketch-then-verify; exact
+    # sims recomputed JVM-side — see operators/similarity.py)
+    "similarity_cosine_pairs",
+    "dedup_embedding_cosine",
+    "similarity_threshold_sweep",
 }
 
 
