@@ -102,9 +102,20 @@ def cosine_pairs(
     so the output is bit-identical to ``exact_scan=True`` while the
     quadratic term runs in BLAS. The guard band keeps every pair whose
     exact rounded sim could reach the threshold (fold-vs-gemm error
-    ~1e-15 ≪ 1e-6); NaN sims (zero-norm vectors) are kept as
-    candidates (``~(S < cut)``) so Spark's NaN-is-largest filter
-    semantics are reproduced by the verify pass, not decided in numpy.
+    ~1e-15 ≪ 1e-6); NaN sims (zero-norm vectors, NaN elements) are
+    kept as candidates (``~(S < cut)``) so Spark's filter semantics
+    are reproduced by the verify pass, not decided in numpy.
+
+    Dirty-input parity with the exact scan: NULL block keys, NULL ids
+    and NULL vectors are dropped up front (the exact path's
+    ``blk == blk2`` / ``id1 < id2`` / NULL-sim filter drops them
+    implicitly); pairing is by id VALUE (``id1 < id2``), so duplicate
+    ids never self-pair, and candidates are de-duplicated so
+    duplicate-id multiplicity is produced by the verify join exactly
+    as the exact scan's join produces it; vectors of different
+    lengths gemm in separate length-groups (a cross-length pair's
+    ``zip_with`` sim is NULL in the exact scan — never a pair). The
+    candidate schema reuses the input id type, so non-long ids work.
 
     Scale: per-block candidate matrices are chunked (``_GEMM_CHUNK``
     rows per gemm) so kernel memory is bounded even on a skewed block;
@@ -133,38 +144,71 @@ def cosine_pairs(
     ).alias("sim")
     if block_col and not exact_scan:
         import pandas as pd
+        from pyspark.sql.types import StructField, StructType
 
         cut = float(threshold) - _GEMM_GUARD
 
         def _candidates(pdf: pd.DataFrame) -> pd.DataFrame:
-            ids = pdf[id_col].to_numpy()
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            X = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )[order]
-            n = len(ids)
-            if n < 2:
-                return pd.DataFrame({"id1": [], "id2": []}).astype("int64")
-            with np.errstate(divide="ignore", invalid="ignore"):
-                Xn = X / np.sqrt((X * X).sum(axis=1))[:, None]
-            cols = np.arange(n)[None, :]
-            o1, o2 = [], []
-            for s in range(0, n, _GEMM_CHUNK):
-                e = min(s + _GEMM_CHUNK, n)
-                S = Xn[s:e] @ Xn.T
-                # keep NaN (~(S < cut)) and the strict upper triangle
-                with np.errstate(invalid="ignore"):
-                    mask = ~(S < cut) & (cols > np.arange(s, e)[:, None])
-                r, c = np.nonzero(mask)
-                o1.append(ids[r + s])
-                o2.append(ids[c])
-            return pd.DataFrame(
-                {"id1": np.concatenate(o1), "id2": np.concatenate(o2)}
+            empty = pd.DataFrame(
+                {"id1": pdf[id_col].iloc[:0], "id2": pdf[id_col].iloc[:0]}
             )
+            keep = pdf[vec_col].notna().to_numpy()
+            if keep.sum() < 2:
+                return empty
+            pdf = pdf[keep]
+            all_ids = pdf[id_col].to_numpy()
+            vecs = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            lens = np.asarray([len(v) for v in vecs])
+            frames = [empty]
+            # cross-length pairs have NULL zip_with sims in the exact
+            # scan (never kept) — gemm each length-group separately
+            for length in np.unique(lens):
+                sel = np.nonzero(lens == length)[0]
+                n = len(sel)
+                if n < 2:
+                    continue
+                ids = all_ids[sel]
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                X = np.asarray([vecs[i] for i in sel[order]])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    Xn = X / np.sqrt((X * X).sum(axis=1))[:, None]
+                o1, o2 = [], []
+                for s in range(0, n, _GEMM_CHUNK):
+                    e = min(s + _GEMM_CHUNK, n)
+                    S = Xn[s:e] @ Xn.T
+                    # keep NaN (~(S < cut)); pair by id VALUE so
+                    # duplicate ids never self-pair (id1 < id2)
+                    with np.errstate(invalid="ignore"):
+                        mask = ~(S < cut) & (
+                            ids[None, :] > ids[s:e, None]
+                        )
+                    r, c = np.nonzero(mask)
+                    o1.append(ids[r + s])
+                    o2.append(ids[c])
+                frames.append(
+                    pd.DataFrame(
+                        {"id1": np.concatenate(o1), "id2": np.concatenate(o2)}
+                    )
+                )
+            # duplicate ids make the same (id1, id2) candidate appear
+            # once per duplicate ROW — drop to one; the verify join
+            # then multiplies by row multiplicity exactly as the
+            # exact scan's join does
+            return pd.concat(frames, ignore_index=True).drop_duplicates()
 
-        cand = embeddings.groupBy(block_col).applyInPandas(
-            _candidates, "id1 long, id2 long"
+        id_type = embeddings.schema[id_col].dataType
+        cand_schema = StructType(
+            [StructField("id1", id_type), StructField("id2", id_type)]
+        )
+        # NULL block keys / ids never pair in the exact scan (its
+        # blk == blk2 and id1 < id2 predicates are not null-safe)
+        cand = (
+            embeddings.filter(
+                F.col(block_col).isNotNull() & F.col(id_col).isNotNull()
+            )
+            .groupBy(block_col)
+            .applyInPandas(_candidates, cand_schema)
         )
         return (
             cand.join(x.drop("blk"), "id1")

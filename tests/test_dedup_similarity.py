@@ -358,3 +358,55 @@ def test_cosine_pairs_gemm_matches_exact_scan_adversarially(spark):
         cosine_pairs(zdf, thr, block_col="label", exact_scan=True).collect()
     with _pytest.raises(ArithmeticException):
         cosine_pairs(zdf, thr, block_col="label").collect()
+
+
+def test_cosine_pairs_gemm_dirty_input_parity(spark):
+    """Review-driven regression: the gemm path must match the exact scan
+    on the dirty inputs a dedup operator actually sees — duplicate ids
+    (no self-pairs; per-row multiplicity preserved through the verify
+    join), NULL vectors / block keys / ids (all silently unpaired, as
+    the exact path's non-null-safe predicates and NULL-sim filter do),
+    ragged vector lengths (cross-length sims are NULL in zip_with —
+    never a pair — so gemm runs per length-group), and a non-long id
+    column (candidate schema reuses the input id type)."""
+    from map_reduce_implementation_spark.operators.similarity import cosine_pairs
+
+    rows = [
+        (7, [1.0, 0.0], 0),          # duplicate id, near-identical vecs
+        (7, [0.999, 0.01], 0),
+        (9, [1.0, 0.001], 0),
+        (11, None, 0),               # NULL vector
+        (12, [1.0, 0.0], None),      # NULL block key
+        (13, [1.0, 0.0], None),      # NULL block key (would pair with 12)
+        (None, [1.0, 0.0], 0),       # NULL id
+        (14, [1.0, 0.0, 0.0], 0),    # ragged: length 3
+        (15, [1.0, 0.001, 0.0], 0),  # length-3 partner
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    fast = sorted(map(tuple, cosine_pairs(df, 0.9, block_col="label").collect()))
+    slow = sorted(
+        map(
+            tuple,
+            cosine_pairs(df, 0.9, block_col="label", exact_scan=True).collect(),
+        )
+    )
+    assert fast == slow
+    # duplicate id 7 pairs with 9 TWICE (once per duplicate row, each
+    # with its own sim), never with itself; ragged pair present;
+    # NULL-block / NULL-id / NULL-vec rows pair with nothing
+    assert [(p, q) for p, q, _ in fast] == [(7, 9), (7, 9), (14, 15)]
+
+    rows2 = [("a", [1.0, 0.0], 0), ("b", [0.999, 0.01], 0), ("c", [0.0, 1.0], 0)]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id string, embedding array<float>, label int"
+    )
+    f2 = sorted(map(tuple, cosine_pairs(df2, 0.9, block_col="label").collect()))
+    s2 = sorted(
+        map(
+            tuple,
+            cosine_pairs(df2, 0.9, block_col="label", exact_scan=True).collect(),
+        )
+    )
+    assert f2 == s2 and [(p, q) for p, q, _ in f2] == [("a", "b")]
