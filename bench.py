@@ -147,6 +147,11 @@ HEADLINE = [
     "token_budget_mix",
     "dedup_cluster_stats",
     "similarity_matryoshka_recall",
+    # round-5 wave 7: governance audits (leakage rides the blocked
+    # gemm pair path; k-anonymity and the kNN vote are cell-sized)
+    "split_leakage_audit",
+    "k_anonymity_audit",
+    "embedding_label_noise",
 ]
 
 

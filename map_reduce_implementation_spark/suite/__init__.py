@@ -19,6 +19,7 @@ from . import (
     dedup,
     drift,
     events,
+    governance,
     graph,
     joins2,
     maps,
@@ -271,6 +272,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "similarity_index_delta",
     # round-5 wave 6d — Matryoshka prefix-truncation recall table
     "similarity_matryoshka_recall",
+    # round-5 wave 7 — governance audits: cross-split leakage,
+    # k-anonymity, kNN label noise (window: 26 new + 5 re-grade heads
+    # = 31 <= 50; the three new names are unchecked and enter first)
+    "split_leakage_audit",
+    "k_anonymity_audit",
+    "embedding_label_noise",
 )
 
 
@@ -324,6 +331,7 @@ def all_queries() -> dict[str, Query]:
         curation5,
         curation6,
         drift,
+        governance,
         sketches3,
         graph,
         tpch3,

@@ -46,6 +46,7 @@ PYTHON_OK = {
     "similarity_cosine_pairs",
     "dedup_embedding_cosine",
     "similarity_threshold_sweep",
+    "split_leakage_audit",
 }
 
 
