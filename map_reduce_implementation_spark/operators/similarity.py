@@ -139,9 +139,12 @@ def cosine_pairs(
         norm(_as_double(vec_col)).alias("n2"),
         *([F.col(block_col).alias("blk2")] if block_col else []),
     )
-    sim_expr = F.round(
-        dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 9
-    ).alias("sim")
+    # threshold compares the UNROUNDED fold — the exact expression every
+    # oracle's WHERE uses; ROUND(·, 9) is display-only (base.py recipe).
+    # Filtering the rounded value instead would keep a pair whose exact
+    # fold sits in [threshold − 5e-10, threshold) that the oracle drops.
+    raw_sim = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    sim_expr = F.round(raw_sim, 9).alias("sim")
     if block_col and not exact_scan:
         import pandas as pd
         from pyspark.sql.types import StructField, StructType
@@ -213,16 +216,16 @@ def cosine_pairs(
         return (
             cand.join(x.drop("blk"), "id1")
             .join(y.drop("blk2"), "id2")
+            .filter(raw_sim >= threshold)
             .select("id1", "id2", sim_expr)
-            .filter(F.col("sim") >= threshold)
         )
     cond = F.col("id1") < F.col("id2")
     if block_col:
         cond = cond & (F.col("blk") == F.col("blk2"))
     return (
         x.join(y, cond)
+        .filter(raw_sim >= threshold)
         .select("id1", "id2", sim_expr)
-        .filter(F.col("sim") >= threshold)
     )
 
 

@@ -410,3 +410,30 @@ def test_cosine_pairs_gemm_dirty_input_parity(spark):
         )
     )
     assert f2 == s2 and [(p, q) for p, q, _ in f2] == [("a", "b")]
+
+
+def test_cosine_pairs_threshold_on_unrounded_fold(spark):
+    """Review-driven regression: the threshold compares the UNROUNDED
+    fold (the expression every oracle's WHERE uses), with ROUND(·, 9)
+    display-only. A pair whose exact fold is 0.2499999996 — below 0.25
+    but rounding to it at 9 dp — must be DROPPED by both paths; a
+    rounded-value filter would keep it and hash-mismatch the oracle."""
+    import math
+
+    from map_reduce_implementation_spark.operators.similarity import cosine_pairs
+
+    x = 0.2499999996
+    rows = [(1, [1.0, 0.0], 0), (2, [x, math.sqrt(1 - x * x)], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    for kw in ({}, {"exact_scan": True}):
+        assert cosine_pairs(df, 0.25, block_col="label", **kw).count() == 0
+    # sanity: a fold exactly AT the cut is kept by both paths
+    y = [1.0, 0.0]
+    df2 = spark.createDataFrame(
+        [(1, y, 0), (2, y, 0)], "vec_id long, embedding array<double>, label int"
+    )
+    for kw in ({}, {"exact_scan": True}):
+        got = cosine_pairs(df2, 1.0, block_col="label", **kw).collect()
+        assert [(r.id1, r.id2, r.sim) for r in got] == [(1, 2, 1.0)]
