@@ -152,6 +152,8 @@ HEADLINE = [
     "split_leakage_audit",
     "k_anonymity_audit",
     "embedding_label_noise",
+    # round-5 wave 8: DSIR data selection (two broadcast unigram LMs)
+    "dsir_importance_sample",
 ]
 
 

@@ -16,6 +16,7 @@ from . import (
     curation4,
     curation5,
     curation6,
+    curation7,
     dedup,
     drift,
     events,
@@ -278,6 +279,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "split_leakage_audit",
     "k_anonymity_audit",
     "embedding_label_noise",
+    # round-5 wave 8 — DSIR importance resampling (data selection)
+    # (window: 27 new + 5 re-grade heads = 32 <= 50)
+    "dsir_importance_sample",
 )
 
 
@@ -330,6 +334,7 @@ def all_queries() -> dict[str, Query]:
         curation4,
         curation5,
         curation6,
+        curation7,
         drift,
         governance,
         sketches3,
