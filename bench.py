@@ -154,6 +154,12 @@ HEADLINE = [
     "embedding_label_noise",
     # round-5 wave 8: DSIR data selection (two broadcast unigram LMs)
     "dsir_importance_sample",
+    # round-5 wave 9: corpus health, BFS, hard-negative mining
+    "cross_source_overlap",
+    "text_kneser_ney_logprob",
+    "text_zipf_fit",
+    "graph_shortest_paths",
+    "similarity_hard_negatives",
 ]
 
 

@@ -15,6 +15,7 @@ from . import (
     curation3,
     curation4,
     curation5,
+    corpus2,
     curation6,
     curation7,
     dedup,
@@ -282,6 +283,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-5 wave 8 — DSIR importance resampling (data selection)
     # (window: 27 new + 5 re-grade heads = 32 <= 50)
     "dsir_importance_sample",
+    # round-5 wave 9 — corpus health (cross-source overlap matrix,
+    # Kneser-Ney LM, Zipf fit), BFS shortest paths, hard-negative
+    # mining (window: 32 new + 5 re-grade heads = 37 <= 50)
+    "cross_source_overlap",
+    "text_kneser_ney_logprob",
+    "text_zipf_fit",
+    "graph_shortest_paths",
+    "similarity_hard_negatives",
 )
 
 
@@ -333,6 +342,7 @@ def all_queries() -> dict[str, Query]:
         curation3,
         curation4,
         curation5,
+        corpus2,
         curation6,
         curation7,
         drift,

@@ -203,7 +203,90 @@ SELECT node_id, COUNT(*) AS n_triangles FROM (
 """
 
 
+_BFS_SOURCE = 1  # supplier node 1 (s_suppkey 1 exists at every SF)
+_BFS_HOPS = 4
+
+
+def q_graph_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded single-source BFS on the trade graph: minimum hop count
+    from supplier {_BFS_SOURCE} to every node reachable in ≤
+    {_BFS_HOPS} hops, reported as a distance histogram (n_nodes +
+    min/max node id per hop level — the reach curve behind
+    supply-chain blast-radius and influence analyses). Completes the
+    graph family's third iterative idiom next to PageRank (fixpoint on
+    values) and connected components (fixpoint on labels): BFS is the
+    fixpoint on FRONTIERS.
+
+    Algorithm: textbook distributed BFS (Pregel-style) — per round,
+    join the hop-(k−1) frontier against the edge list (edge-keyed
+    shuffle), union the expansions into the distance frame, and keep
+    MIN(hops) per node. The frontier filter means each round's join
+    touches only newly-reached nodes; the distance frame is
+    localCheckpoint'd per round (the connected_components cadence), so
+    the plan stays round-sized instead of doubling per iteration (the
+    frame is referenced twice per round — frontier + union). All
+    arithmetic is integer → trivially hash-exact; the oracle unrolls
+    the identical rounds as a CTE chain (the pagerank convention,
+    since standard SQL cannot aggregate inside a recursive CTE)."""
+    edges = _trade_edges(spark, sf)
+    dist = spark.range(1).select(
+        F.lit(_BFS_SOURCE).cast("long").alias("node"),
+        F.lit(0).alias("hops"),
+    )
+    for k in range(1, _BFS_HOPS + 1):
+        frontier = dist.filter(F.col("hops") == k - 1)
+        expanded = edges.join(
+            frontier, edges["src"] == frontier["node"]
+        ).select(F.col("dst").alias("node"), F.lit(k).alias("hops"))
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.groupBy("hops").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+def _shortest_paths_oracle(hops: int = _BFS_HOPS) -> str:
+    steps = []
+    for k in range(1, hops + 1):
+        steps.append(
+            f"""d{k} AS (
+  SELECT node, MIN(hops) AS hops FROM (
+    SELECT node, hops FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, {k} AS hops
+    FROM edges e JOIN d{k - 1} p ON e.src = p.node AND p.hops = {k - 1}
+  ) GROUP BY node
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT l.l_suppkey AS s, -o.o_custkey AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs
+),
+d0 AS (SELECT CAST({_BFS_SOURCE} AS BIGINT) AS node, 0 AS hops),
+{chain}
+SELECT hops, COUNT(*) AS n_nodes, MIN(node) AS min_node,
+  MAX(node) AS max_node
+FROM d{hops} GROUP BY hops
+"""
+
+
 QUERIES: dict[str, Query] = {
     "graph_pagerank": Query(q_graph_pagerank, _pagerank_oracle()),
     "graph_triangle_count": Query(q_graph_triangle_count, SQL_GRAPH_TRIANGLE_COUNT),
+    "graph_shortest_paths": Query(
+        q_graph_shortest_paths, _shortest_paths_oracle()
+    ),
 }

@@ -649,8 +649,95 @@ FROM j, tot
 """
 
 
+HN_SAMPLE_MOD = 50  # anchor sampling rate (similarity_knn_join's)
+HN_K = 5  # hard negatives mined per anchor
+
+
+def q_similarity_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    SimCSE recipe, Karpukhin et al. 2020 §3.2): every
+    {HN_SAMPLE_MOD}th vector is an anchor, and its {HN_K} most-similar
+    corpus vectors with a DIFFERENT label are its hard negatives —
+    the near-misses that make a contrastive loss learn boundaries
+    instead of memorizing easy negatives.
+
+    Plan: the anchor batch is broadcast into one corpus scan (the
+    ``knn_join`` shape); the label-mismatch filter runs BEFORE the
+    per-anchor rank window, so WindowGroupLimit keeps only {HN_K} rows
+    per anchor per map task ahead of the exchange — the shuffle
+    carries O(|anchors|·k·partitions) rows, never |anchors|×|corpus|.
+    Sims follow the proven sequential-fold + ROUND 9 + vec_id
+    tie-break recipe, so the mined set is deterministic and the whole
+    pipeline hash-grades."""
+    from ..operators.similarity import _as_double, cosine
+
+    e = table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % HN_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        _as_double("embedding").alias("qv"),
+    )
+    c = e.filter(F.col("vec_id") % HN_SAMPLE_MOD != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        _as_double("embedding").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("anchor_label"))
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("cv"), F.col("qv")), 9).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("neg_rank", F.row_number().over(w)).filter(
+        F.col("neg_rank") <= HN_K
+    )
+
+
+SQL_SIMILARITY_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS anchor_label,
+    CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % {HN_SAMPLE_MOD} = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label,
+    CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id % {HN_SAMPLE_MOD} <> 0
+),
+scored AS (
+  SELECT q.query_id, q.anchor_label, c.neighbor_id, c.neighbor_label,
+    ROUND(
+      list_sum(list_transform(list_zip(c.cv, q.qv), x -> x[1] * x[2]))
+      / (
+        sqrt(list_sum(list_transform(c.cv, x -> x * x)))
+        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+      ), 9) AS sim
+  FROM c CROSS JOIN q
+  WHERE c.neighbor_label <> q.anchor_label
+)
+SELECT query_id, anchor_label, neighbor_id, neighbor_label, sim,
+  CAST(rk AS INTEGER) AS neg_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {HN_K}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "similarity_ann_pq_recall": Query(q_ann_pq_recall, SQL_ANN_PQ_RECALL),
+    "similarity_hard_negatives": Query(
+        q_similarity_hard_negatives, SQL_SIMILARITY_HARD_NEGATIVES
+    ),
     "similarity_index_delta": Query(
         q_similarity_index_delta, SQL_SIMILARITY_INDEX_DELTA
     ),
