@@ -160,6 +160,12 @@ HEADLINE = [
     "text_zipf_fit",
     "graph_shortest_paths",
     "similarity_hard_negatives",
+    # round-5 wave 10: TextRank, kappa, BLEU precision, Markov, l-div
+    "text_textrank_keywords",
+    "text_lang_id_kappa",
+    "text_bleu_precision",
+    "events_markov_stationary",
+    "l_diversity_audit",
 ]
 
 

@@ -16,6 +16,7 @@ from . import (
     curation4,
     curation5,
     corpus2,
+    corpus3,
     curation6,
     curation7,
     dedup,
@@ -291,6 +292,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_zipf_fit",
     "graph_shortest_paths",
     "similarity_hard_negatives",
+    # round-5 wave 10 — TextRank keywords, lang-ID kappa, BLEU
+    # precision, Markov stationary distribution, l-diversity
+    # (window: 37 new + 5 re-grade heads = 42 <= 50)
+    "text_textrank_keywords",
+    "text_lang_id_kappa",
+    "text_bleu_precision",
+    "events_markov_stationary",
+    "l_diversity_audit",
 )
 
 
@@ -343,6 +352,7 @@ def all_queries() -> dict[str, Query]:
         curation4,
         curation5,
         corpus2,
+        corpus3,
         curation6,
         curation7,
         drift,

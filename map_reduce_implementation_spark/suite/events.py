@@ -975,7 +975,112 @@ FROM base GROUP BY cohort_day
 """
 
 
+MK_ITERS = 5  # stationary-distribution power iterations
+
+
+def q_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain:
+    {MK_ITERS} power iterations π_{{k+1}} = π_k·P from the uniform
+    start, over the same row-stochastic transition matrix
+    ``events_transition_matrix`` reports — the long-run share of time
+    the event stream spends in each state (the "where does the funnel
+    settle" number next to the matrix's one-step view).
+
+    Plan: ONE events scan builds the type-pair cell counts
+    (localCheckpoint'd — matrix, state spine, and every iteration
+    derive from the materialized |types|² cells, never re-running the
+    user-keyed lag window); each iteration is one |types|²-cell join
+    + |types|-key aggregate — free at any scale. The LEFT join back
+    to the state spine keeps sink-only states at mass 0 instead of
+    silently dropping them. Summation-order ulps (~1e-16/iteration)
+    are absorbed by the final ROUND 9 — the pagerank convention; the
+    oracle unrolls the identical iterations as a CTE chain."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cells = (
+        seq.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .localCheckpoint(eager=True)
+    )
+    rowsum = cells.groupBy("prev_type").agg(F.sum("nt").alias("row_n"))
+    P = cells.join(rowsum, "prev_type").select(
+        "prev_type",
+        "next_type",
+        (F.col("nt") / F.col("row_n")).alias("prob"),
+    )
+    states = rowsum.select(F.col("prev_type").alias("state"))
+    ns = states.agg(F.count(F.lit(1)).alias("n"))
+    pi = states.crossJoin(F.broadcast(ns)).select(
+        "state", (F.lit(1.0) / F.col("n")).alias("p")
+    )
+    for _ in range(MK_ITERS):
+        flow = (
+            pi.join(P, pi["state"] == P["prev_type"])
+            .groupBy("next_type")
+            .agg(F.sum(F.col("p") * F.col("prob")).alias("s"))
+        )
+        pi = states.join(
+            flow, states["state"] == flow["next_type"], "left"
+        ).select("state", F.coalesce(F.col("s"), F.lit(0.0)).alias("p"))
+    return pi.select(
+        F.col("state").alias("event_type"),
+        F.round("p", 9).alias("stationary_prob"),
+    )
+
+
+def _markov_stationary_oracle(iters: int = MK_ITERS) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""pi{k} AS (
+  SELECT s.state, COALESCE(t.s, 0.0) AS p
+  FROM states s
+  LEFT JOIN (
+    SELECT tm.next_type AS state, SUM(p.p * tm.prob) AS s
+    FROM pi{k - 1} p JOIN tm ON p.state = tm.prev_type
+    GROUP BY tm.next_type
+  ) t ON s.state = t.state
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH seq AS (
+  SELECT user_id,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+    event_type AS next_type
+  FROM events
+),
+cells AS (
+  SELECT prev_type, next_type, COUNT(*) AS nt
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+rowsum AS (
+  SELECT prev_type, CAST(SUM(nt) AS BIGINT) AS row_n FROM cells GROUP BY 1
+),
+tm AS (
+  SELECT cells.prev_type, cells.next_type, nt * 1.0 / row_n AS prob
+  FROM cells JOIN rowsum ON cells.prev_type = rowsum.prev_type
+),
+states AS (SELECT prev_type AS state FROM rowsum),
+ns AS (SELECT COUNT(*) AS n FROM states),
+pi0 AS (SELECT state, 1.0 / ns.n AS p FROM states CROSS JOIN ns),
+{chain}
+SELECT state AS event_type, ROUND(p, 9) AS stationary_prob FROM pi{iters}
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "events_markov_stationary": Query(
+        q_markov_stationary, _markov_stationary_oracle()
+    ),
     "events_funnel": Query(q_funnel, SQL_FUNNEL),
     "events_conversion_lag": Query(q_conversion_lag, SQL_CONVERSION_LAG),
     "events_scd2_intervals": Query(q_scd2_intervals, SQL_SCD2_INTERVALS),

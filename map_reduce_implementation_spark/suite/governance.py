@@ -326,10 +326,98 @@ FROM q JOIN top ON q.query_id = top.query_id
 """
 
 
+L_LEVELS = (2, 3, 4, 5)  # l-diversity thresholds swept
+
+
+def q_l_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a class can hold k people yet leak the
+    sensitive attribute anyway if all k SHARE its value (homogeneity
+    attack). Quasi-identifiers here are (nation, {BAL_BAND}-unit
+    balance band); the sensitive attribute is the market segment; for
+    each l in {L_LEVELS}, the classes carrying fewer than l distinct
+    segments and the customers they expose. The companion to
+    ``k_anonymity_audit`` — a release review runs both.
+
+    Plan: the distinct-sensitive count is an exact two-level
+    aggregate (QI×segment cells, then QI classes — never a
+    countDistinct shuffle of raw rows); the class frame is bounded by
+    QI cardinality, the {len(L_LEVELS)}-row l dimension is broadcast,
+    and the final aggregate is l-keyed over class cells (the
+    k-anonymity plan shape exactly)."""
+    c = table(spark, sf, "customer")
+    cells = (
+        c.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / F.lit(BAL_BAND))
+            .cast("long")
+            .alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    classes = cells.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("n").alias("csz"), F.count(F.lit(1)).alias("ldiv")
+    )
+    ls = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in L_LEVELS])).alias("l")
+    )
+    risky = F.col("ldiv") < F.col("l")
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.count(F.when(risky, 1)).alias("n_risky_classes"),
+            F.sum("csz").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(risky, F.col("csz"))), F.lit(0)
+            ).alias("n_risky_rows"),
+        )
+        .select(
+            F.col("l").cast("int").alias("l"),
+            "n_classes",
+            "n_risky_classes",
+            F.round(F.col("n_risky_rows") / F.col("n_rows"), 9).alias(
+                "risky_row_share"
+            ),
+            "n_risky_rows",
+        )
+    )
+
+
+SQL_L_DIVERSITY_AUDIT = f"""
+WITH cells AS (
+  SELECT c_nationkey,
+    CAST(floor(c_acctbal / {BAL_BAND}) AS BIGINT) AS bal_band,
+    c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_nationkey, bal_band, CAST(SUM(n) AS BIGINT) AS csz,
+    COUNT(*) AS ldiv
+  FROM cells GROUP BY 1, 2
+),
+ls AS (SELECT * FROM (VALUES {", ".join(f"({v})" for v in L_LEVELS)}) AS t(l))
+SELECT CAST(ls.l AS INTEGER) AS l,
+  COUNT(*) AS n_classes,
+  COUNT(*) FILTER (WHERE ldiv < ls.l) AS n_risky_classes,
+  ROUND(
+    coalesce(SUM(csz) FILTER (WHERE ldiv < ls.l), 0) * 1.0 / SUM(csz), 9
+  ) AS risky_row_share,
+  CAST(coalesce(SUM(csz) FILTER (WHERE ldiv < ls.l), 0) AS BIGINT)
+    AS n_risky_rows
+FROM classes CROSS JOIN ls
+GROUP BY ls.l
+"""
+
+
 QUERIES: dict[str, Query] = {
     "split_leakage_audit": Query(
         q_split_leakage_audit, SQL_SPLIT_LEAKAGE_AUDIT
     ),
+    "l_diversity_audit": Query(q_l_diversity_audit, SQL_L_DIVERSITY_AUDIT),
     "k_anonymity_audit": Query(q_k_anonymity_audit, SQL_K_ANONYMITY_AUDIT),
     "embedding_label_noise": Query(
         q_embedding_label_noise, SQL_EMBEDDING_LABEL_NOISE

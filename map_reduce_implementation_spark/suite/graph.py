@@ -227,8 +227,17 @@ def q_graph_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
     frame is referenced twice per round — frontier + union). All
     arithmetic is integer → trivially hash-exact; the oracle unrolls
     the identical rounds as a CTE chain (the pagerank convention,
-    since standard SQL cannot aggregate inside a recursive CTE)."""
-    edges = _trade_edges(spark, sf)
+    since standard SQL cannot aggregate inside a recursive CTE).
+
+    The edge list is materialized ONCE (localCheckpoint) before the
+    loop — each round's frontier join would otherwise replay the
+    lineitem⋈orders+distinct edge build once per round (a cluster run
+    persists edges to storage, the move pagerank's cached-wedge memo
+    makes). At sf0.1 the win is modest (2.5 → ~2.2 s warm: the graph
+    saturates by hop 3, so the hop-3-frontier × edge-list expansion
+    dominates, not the edge build) — at 100 TB the edge build is the
+    corpus-sized part and replaying it per round would dominate."""
+    edges = _trade_edges(spark, sf).localCheckpoint(eager=True)
     dist = spark.range(1).select(
         F.lit(_BFS_SOURCE).cast("long").alias("node"),
         F.lit(0).alias("hops"),
