@@ -166,6 +166,11 @@ HEADLINE = [
     "text_bleu_precision",
     "events_markov_stationary",
     "l_diversity_audit",
+    # round-5 wave 11: lossless prefix-filter join, k-center coreset,
+    # n-gram saturation
+    "dedup_prefix_filter_pairs",
+    "coreset_kcenter",
+    "token_ngram_saturation",
 ]
 
 

@@ -300,6 +300,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bleu_precision",
     "events_markov_stationary",
     "l_diversity_audit",
+    # round-5 wave 11 — lossless prefix-filter similarity join,
+    # greedy k-center coreset, n-gram saturation curve
+    # (window: 45 new + 5 re-grade heads = 50 <= 50)
+    "dedup_prefix_filter_pairs",
+    "coreset_kcenter",
+    "token_ngram_saturation",
 )
 
 

@@ -298,8 +298,199 @@ def _kappa_oracle() -> str:
     return SQL_LANG_ID_KAPPA_TEMPLATE.format(lang_id_sql=SQL_LANG_ID)
 
 
+PF_THRESHOLD = 0.5  # Jaccard cut (matches dedup_ngram_jaccard)
+
+
+def q_prefix_filter_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (SSJoin, Chaudhuri et
+    al. 2006; PPJoin, Xiao et al. 2008) — the third sub-quadratic
+    candidate-generation family in the repo, next to df-capping
+    (changes semantics: drops hot shingles from scores) and MinHash
+    banding (probabilistic: can miss pairs). Prefix filtering is
+    EXACT and LOSSLESS: order each doc's shingles by global rarity
+    (df ASC, shingle ASC) and index only the first
+    |s| − ceil(t·|s|) + 1 of them; any pair with Jaccard ≥ t
+    provably shares a prefix shingle (J ≥ t forces |B| ≥ t·|A|, so
+    the required overlap exceeds what the dropped suffix can cover),
+    so verifying candidates with the exact Jaccard reproduces the
+    full O(n²)-free answer bit-for-bit.
+
+    Plan: df is one shingle-keyed aggregate; the per-doc rarity rank
+    is a doc-partitioned window; the candidate self-join keys on
+    PREFIX shingles only — a boilerplate shingle (huge df) lands in
+    almost no prefixes, so the very key that blows up the plain
+    posting-list join is filtered out by construction, WITHOUT
+    touching scores. Verification re-joins candidates against the
+    full shingle lists (work bounded by candidates, not pairs). The
+    oracle is the PLAIN quadratic pair join — hash-equality proves
+    the optimized path is semantics-preserving, the gemm-candidate
+    convention (operators/similarity.py)."""
+    from .dedup import _shingles
+
+    # five consumers (df, rank, sizes, both verify sides) — materialize
+    # the shingle stream ONCE instead of re-tokenizing per branch
+    # (modest at sf0.1, ~2.1 → 1.9 s warm — the doc-keyed rank window
+    # dominates locally — but at corpus scale five tokenize passes
+    # would; a cluster run persists the stream)
+    sh = _shingles(spark, sf, 5).localCheckpoint(eager=True)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.asc("df"), F.asc("shingle")
+    )
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rnk", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("n") - F.ceil(F.col("n") * F.lit(PF_THRESHOLD)) + 1
+    ).select("doc_id", "shingle")
+    cands = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "shingle")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("d1"), F.col("pb.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cands.join(sh.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("d2") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("d1") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("d2") == F.col("zb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("inter")
+                / (F.col("za.n") + F.col("zb.n") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= PF_THRESHOLD)
+    )
+
+
+# The oracle is the PLAIN pair join at the same threshold — prefix
+# filtering is provably lossless, so hash-equality against the
+# unoptimized formulation is the whole point of the entry.
+from .dedup import SQL_DEDUP_NGRAM_JACCARD as SQL_PREFIX_FILTER_PAIRS  # noqa: E402
+
+
+SAT_BATCHES = 10  # ingestion batches for the saturation curve
+
+
+def q_ngram_saturation(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram saturation curve — the "will more of this source help?"
+    diminishing-returns audit (Heaps' law, empirically): docs are
+    assigned to {SAT_BATCHES} deterministic ingestion batches (the
+    stored-nothing md5 recipe from ``dataset_split``), each distinct
+    bigram is charged to the FIRST batch that contains it, and the
+    per-batch report shows total bigram instances, newly-seen distinct
+    bigrams, and the cumulative share of the final vocabulary — a
+    flattening curve says the source has stopped contributing novelty.
+
+    Plan: one corpus pass to bigrams, one gram-keyed MIN(batch)
+    aggregate (the distinct-type charge), one {SAT_BATCHES}-row
+    cumulative window — nothing after the first aggregate scales with
+    the corpus."""
+    d = table(spark, sf, "documents")
+    ts = _tokens(F.col("text"))
+    n = F.size(ts)
+    pair_structs = F.zip_with(
+        F.slice(ts, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    from .pipeline2 import _md5_bucket
+
+    batch = _md5_bucket("sat|", F.col("doc_id").cast("string"), SAT_BATCHES)
+    grams = d.select(
+        batch.alias("batch"), F.explode(pair_structs).alias("b")
+    ).select("batch", F.concat_ws(" ", "b.prev", "b.cur").alias("gram"))
+    per_gram = grams.groupBy("gram").agg(
+        F.min("batch").alias("first_batch"), F.count(F.lit(1)).alias("cnt")
+    )
+    instance_counts = grams.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_instances")
+    )
+    novelty = per_gram.groupBy("first_batch").agg(
+        F.count(F.lit(1)).alias("n_new_grams")
+    )
+    w_cum = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return (
+        instance_counts.join(
+            novelty,
+            instance_counts["batch"] == novelty["first_batch"],
+            "left",
+        )
+        .select(
+            "batch",
+            "n_instances",
+            F.coalesce(F.col("n_new_grams"), F.lit(0)).alias("n_new_grams"),
+        )
+        .select(
+            "batch",
+            "n_instances",
+            "n_new_grams",
+            F.round(
+                F.sum("n_new_grams").over(w_cum)
+                / F.sum("n_new_grams").over(w_all),
+                6,
+            ).alias("cum_vocab_share"),
+        )
+    )
+
+
+SQL_NGRAM_SATURATION = f"""
+WITH t AS (
+  SELECT ('0x' || substr(md5('sat|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % {SAT_BATCHES} AS batch,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT batch, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS b
+  FROM t WHERE len(toks) >= 2
+),
+grams AS (SELECT batch, b[1] || ' ' || b[2] AS gram FROM bg),
+per_gram AS (
+  SELECT gram, MIN(batch) AS first_batch FROM grams GROUP BY gram
+),
+instance_counts AS (
+  SELECT batch, COUNT(*) AS n_instances FROM grams GROUP BY batch
+),
+novelty AS (
+  SELECT first_batch, COUNT(*) AS n_new_grams FROM per_gram GROUP BY 1
+)
+SELECT i.batch, i.n_instances,
+  CAST(coalesce(n.n_new_grams, 0) AS BIGINT) AS n_new_grams,
+  ROUND(
+    SUM(coalesce(n.n_new_grams, 0)) OVER (ORDER BY i.batch
+      ROWS UNBOUNDED PRECEDING) * 1.0
+    / SUM(coalesce(n.n_new_grams, 0)) OVER (), 6) AS cum_vocab_share
+FROM instance_counts i LEFT JOIN novelty n ON i.batch = n.first_batch
+"""
+
+
 QUERIES: dict[str, Query] = {
     "text_textrank_keywords": Query(q_textrank_keywords, _textrank_oracle()),
     "text_lang_id_kappa": Query(q_lang_id_kappa, _kappa_oracle()),
     "text_bleu_precision": Query(q_bleu_precision, SQL_BLEU_PRECISION),
+    "dedup_prefix_filter_pairs": Query(
+        q_prefix_filter_pairs, SQL_PREFIX_FILTER_PAIRS
+    ),
+    "token_ngram_saturation": Query(q_ngram_saturation, SQL_NGRAM_SATURATION),
 }

@@ -649,6 +649,99 @@ FROM j, tot
 """
 
 
+CORESET_K = 8  # greedy k-center selections
+
+
+def q_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the coreset
+    active-learning selector of Sener & Savarese 2018): start from the
+    lowest vec_id, then {CORESET_K}−1 times pick the vector FARTHEST
+    (squared L2, vec_id tie-break) from everything already selected —
+    the classic 2-approximation cover whose radius column IS the
+    coverage guarantee. The diversity-first data-selection method next
+    to DSIR's distribution-matching: DSIR picks lookalikes, k-center
+    picks the spanning skeleton.
+
+    Plan: the min-distance frame (vec_id, v, d) stays distributed; per
+    round a TakeOrderedAndProject(1) finds the argmax, the 1-row
+    winner broadcasts back, and d updates via least() — one bounded
+    shuffle + one corpus map per round, localCheckpoint per round (the
+    BFS/CC cadence — the frame is referenced twice per round). Nothing
+    but 1-row winners ever leaves the executors. Distances are the
+    proven sequential-fold ``_ssd`` (bit-identical to the oracle's
+    left-to-right list_sum), so argmax compares run on identical
+    doubles and ROUND 9 is display-only; the oracle unrolls the
+    identical {CORESET_K} rounds as a CTE chain."""
+    e = table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c0 = e.orderBy(F.asc("vec_id")).limit(1)
+    sel = c0.select(
+        F.lit(1).alias("sel_rank"),
+        "vec_id",
+        F.lit(None).cast("double").alias("radius"),
+    )
+    mind = (
+        e.crossJoin(F.broadcast(c0.select(F.col("v").alias("cv"))))
+        .select("vec_id", "v", _ssd(F.col("v"), F.col("cv")).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, CORESET_K + 1):
+        nxt = mind.orderBy(F.desc("d"), F.asc("vec_id")).limit(1)
+        sel = sel.unionAll(
+            nxt.select(
+                F.lit(i).alias("sel_rank"),
+                "vec_id",
+                F.round("d", 9).alias("radius"),
+            )
+        )
+        if i < CORESET_K:
+            mind = (
+                mind.crossJoin(F.broadcast(nxt.select(F.col("v").alias("cv"))))
+                .select(
+                    "vec_id",
+                    "v",
+                    F.least(
+                        F.col("d"), _ssd(F.col("v"), F.col("cv"))
+                    ).alias("d"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return sel
+
+
+def _coreset_oracle(k: int = CORESET_K) -> str:
+    ssd = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1)",
+        "m1 AS (SELECT e.vec_id, e.v, "
+        + ssd.format(a="e.v", b="c.v")
+        + " AS d FROM e CROSS JOIN c1 c)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"c{i} AS (SELECT vec_id, v, d FROM m{i - 1}"
+            " ORDER BY d DESC, vec_id ASC LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"m{i} AS (SELECT m.vec_id, m.v, least(m.d, "
+                + ssd.format(a="m.v", b="c.v")
+                + f") AS d FROM m{i - 1} m CROSS JOIN c{i} c)"
+            )
+    selects = [
+        "SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1"
+    ] + [
+        f"SELECT {i} AS sel_rank, vec_id, ROUND(d, 9) AS radius FROM c{i}"
+        for i in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 HN_SAMPLE_MOD = 50  # anchor sampling rate (similarity_knn_join's)
 HN_K = 5  # hard negatives mined per anchor
 
@@ -738,6 +831,7 @@ QUERIES: dict[str, Query] = {
     "similarity_hard_negatives": Query(
         q_similarity_hard_negatives, SQL_SIMILARITY_HARD_NEGATIVES
     ),
+    "coreset_kcenter": Query(q_coreset_kcenter, _coreset_oracle()),
     "similarity_index_delta": Query(
         q_similarity_index_delta, SQL_SIMILARITY_INDEX_DELTA
     ),
