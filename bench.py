@@ -171,6 +171,11 @@ HEADLINE = [
     "dedup_prefix_filter_pairs",
     "coreset_kcenter",
     "token_ngram_saturation",
+    # round-5 wave 12: gate agreement, hapax, HHI, Mahalanobis
+    "quality_gate_agreement",
+    "text_hapax_ratio",
+    "market_concentration_hhi",
+    "embedding_outlier_mahalanobis",
 ]
 
 

@@ -32,6 +32,7 @@ from . import (
     pipeline2,
     pipeline3,
     quality,
+    quality2,
     relational,
     scalars2,
     similarity,
@@ -302,10 +303,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "l_diversity_audit",
     # round-5 wave 11 — lossless prefix-filter similarity join,
     # greedy k-center coreset, n-gram saturation curve
-    # (window: 45 new + 5 re-grade heads = 50 <= 50)
     "dedup_prefix_filter_pairs",
     "coreset_kcenter",
     "token_ngram_saturation",
+    # round-5 wave 12 — gate-ensemble agreement, hapax richness, HHI
+    # concentration, Mahalanobis outliers (unchecked entries now 44;
+    # window: 44 + 5 re-grade heads = 49 <= 50)
+    "quality_gate_agreement",
+    "text_hapax_ratio",
+    "market_concentration_hhi",
+    "embedding_outlier_mahalanobis",
 )
 
 
@@ -384,6 +391,7 @@ def all_queries() -> dict[str, Query]:
         pipeline2,
         pipeline3,
         quality,
+        quality2,
         tuning,
         vector2,
     ):
