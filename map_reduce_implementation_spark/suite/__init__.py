@@ -77,6 +77,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # slots down; similarity_threshold_sweep is new-this-round and
     # unchecked, so it is graded regardless of position)
     "similarity_cosine_pairs",
+    # round-5 node-id fix: customer nodes now map to -(custkey+1) —
+    # the synthetic keys start at 0, so plain negation merged supplier
+    # 0 with customer 0; pagerank values changed, re-grade it (the
+    # also-affected graph_shortest_paths is new-this-round/unchecked
+    # and enters the window regardless of position)
+    "graph_pagerank",
     "pipeline_curation",
     "dedup_exact",
     "dedup_keep_first",

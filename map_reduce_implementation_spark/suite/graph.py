@@ -3,9 +3,12 @@
 The graph: one undirected edge per distinct (supplier, customer) pair
 that traded (lineitem ⋈ orders), emitted in both directions so every
 node has out-degree ≥ 1 (no dangling-mass correction needed). Customer
-nodes are NEGATED (node = -custkey, custkey >= 1) so the two id
-spaces are disjoint at ANY scale factor — a fixed additive offset
-collides once supplier count outgrows it.
+nodes map to the NEGATIVE range as node = -(custkey + 1): the synthetic
+keys start at 0, so plain negation would merge supplier 0 with
+customer 0 at node 0 (caught round 5 when a 10× scale corpus returned
+159,989 nodes instead of 10×15,998); the +1 keeps the two id spaces
+disjoint for ALL keys ≥ 0 and at ANY scale factor — unlike a fixed
+additive offset, which collides once supplier count outgrows it.
 
 The oracle is the SAME fixed-point iteration unrolled into one CTE per
 step (standard SQL cannot aggregate inside a recursive CTE, so the
@@ -33,7 +36,7 @@ def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
             F.col("l_suppkey").alias("s"),
-            (-F.col("o_custkey")).alias("c"),
+            (-(F.col("o_custkey") + F.lit(1))).alias("c"),
         )
         .distinct()
     )
@@ -75,7 +78,7 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
     chain = ",\n".join(steps)
     return f"""
 WITH pairs AS (
-  SELECT DISTINCT l.l_suppkey AS s, -o.o_custkey AS c
+  SELECT DISTINCT l.l_suppkey AS s, -(o.o_custkey + 1) AS c
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
 edges AS (
@@ -276,7 +279,7 @@ def _shortest_paths_oracle(hops: int = _BFS_HOPS) -> str:
     chain = ",\n".join(steps)
     return f"""
 WITH pairs AS (
-  SELECT DISTINCT l.l_suppkey AS s, -o.o_custkey AS c
+  SELECT DISTINCT l.l_suppkey AS s, -(o.o_custkey + 1) AS c
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
 edges AS (

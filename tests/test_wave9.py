@@ -116,7 +116,7 @@ def test_shortest_paths_python_bfs(spark):
     li = table(spark, SF0001, "lineitem").select("l_orderkey", "l_suppkey")
     orders = table(spark, SF0001, "orders").select("o_orderkey", "o_custkey")
     pairs = {
-        (r["l_suppkey"], -r["o_custkey"])
+        (r["l_suppkey"], -(r["o_custkey"] + 1))
         for r in li.join(
             orders, li["l_orderkey"] == orders["o_orderkey"]
         ).collect()
