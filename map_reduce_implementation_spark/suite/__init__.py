@@ -313,8 +313,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "coreset_kcenter",
     "token_ngram_saturation",
     # round-5 wave 12 — gate-ensemble agreement, hapax richness, HHI
-    # concentration, Mahalanobis outliers (unchecked entries now 44;
-    # window: 44 + 5 re-grade heads = 49 <= 50)
+    # concentration, Mahalanobis outliers. Window arithmetic at end of
+    # round 5: 44 unchecked + 6 re-grade heads (incl. graph_pagerank,
+    # node-id fix) = 50 <= 50 — exactly full
     "quality_gate_agreement",
     "text_hapax_ratio",
     "market_concentration_hhi",
