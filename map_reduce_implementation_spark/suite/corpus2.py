@@ -272,14 +272,18 @@ def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     syy = F.col("syy").cast("double")
     num = nd * sxy - sx * sy
     den = nd * sxx - sx * sx
+    deny = nd * syy - sy * sy
+    # degenerate-corpus guards (single term → den = 0; constant
+    # frequencies → deny = 0): NULL instead of an engine-dependent
+    # NaN-vs-NULL 0/0 — the CASE mirrors the oracle exactly
     return s.select(
         "n_terms",
-        F.round(num / den, 6).alias("slope"),
-        F.round((sy - (num / den) * sx) / (nd * F.lit(1e7)), 6).alias(
-            "intercept"
-        ),
+        F.round(F.when(den > 0, num / den), 6).alias("slope"),
         F.round(
-            num * num / (den * (nd * syy - sy * sy)), 6
+            F.when(den > 0, (sy - (num / den) * sx) / (nd * F.lit(1e7))), 6
+        ).alias("intercept"),
+        F.round(
+            F.when((den > 0) & (deny > 0), num * num / (den * deny)), 6
         ).alias("r2"),
     )
 
@@ -306,28 +310,26 @@ s AS (
     CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy,
     CAST(SUM(y * y) AS BIGINT) AS syy
   FROM xy
+),
+d AS (
+  SELECT n_terms,
+    CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+    CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+    CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+    CAST(n_terms AS DOUBLE) AS nd
+  FROM s
 )
 SELECT n_terms,
-  ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
-         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
-  ROUND((CAST(sy AS DOUBLE)
-         - ((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-           * CAST(sx AS DOUBLE))
-        / (CAST(n_terms AS DOUBLE) * 1e7), 6) AS intercept,
-  ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
-         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        * (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / ((CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-           * (CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
-              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
-FROM s
+  ROUND(CASE WHEN den > 0 THEN num / den END, 6) AS slope,
+  ROUND(CASE WHEN den > 0
+    THEN (syd - (num / den) * sxd) / (nd * 1e7) END, 6) AS intercept,
+  ROUND(CASE WHEN den > 0 AND deny > 0
+    THEN num * num / (den * deny) END, 6) AS r2
+FROM d
 """
 
 

@@ -174,13 +174,17 @@ def q_lang_id_kappa(spark: SparkSession, sf: str) -> DataFrame:
     )
     po = F.col("agree") / F.col("n_docs")
     pe = F.col("prod_sum") / (F.col("n_docs") * F.col("n_docs"))
+    # degenerate guard: constant-and-correct predictions give p_e = 1
+    # and kappa's 0/0 — NULL beats an engine-dependent NaN-vs-NULL
     return (
         tot.crossJoin(F.broadcast(prod))
         .select(
             "n_docs",
             F.round(po, 6).alias("p_observed"),
             F.round(pe, 6).alias("p_expected"),
-            F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+            F.round(
+                F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 6
+            ).alias("kappa"),
         )
     )
 
@@ -207,8 +211,9 @@ prod AS (
 SELECT n_docs,
   ROUND(agree * 1.0 / n_docs, 6) AS p_observed,
   ROUND(prod_sum * 1.0 / (n_docs * n_docs), 6) AS p_expected,
-  ROUND((agree * 1.0 / n_docs - prod_sum * 1.0 / (n_docs * n_docs))
-        / (1.0 - prod_sum * 1.0 / (n_docs * n_docs)), 6) AS kappa
+  ROUND(CASE WHEN prod_sum * 1.0 / (n_docs * n_docs) < 1.0
+    THEN (agree * 1.0 / n_docs - prod_sum * 1.0 / (n_docs * n_docs))
+         / (1.0 - prod_sum * 1.0 / (n_docs * n_docs)) END, 6) AS kappa
 FROM tot CROSS JOIN prod
 """
 

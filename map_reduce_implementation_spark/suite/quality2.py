@@ -82,13 +82,19 @@ def q_quality_gate_agreement(spark: SparkSession, sf: str) -> DataFrame:
     both = F.col("n_both")
     po = (both + (n - a - b + both)) / n
     pe = (a * b + (n - a) * (n - b)) / (n * n)
+    # degenerate guards (nothing kept → Jaccard 0/0; both gates
+    # constant → p_e = 1 and kappa 0/0): NULL in BOTH engines
     return agg.select(
         "n_docs",
         "n_keep_gopher",
         "n_keep_stopword",
         "n_both",
-        F.round(both / (a + b - both), 6).alias("keep_jaccard"),
-        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        F.round(
+            F.when(a + b - both > 0, both / (a + b - both)), 6
+        ).alias("keep_jaccard"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 6
+        ).alias("kappa"),
     )
 
 
@@ -119,16 +125,19 @@ agg AS (
   FROM gop JOIN gb ON gop.doc_id = gb.doc_id
 )
 SELECT n_docs, n_keep_gopher, n_keep_stopword, n_both,
-  ROUND(n_both * 1.0 / (n_keep_gopher + n_keep_stopword - n_both), 6)
+  ROUND(CASE WHEN n_keep_gopher + n_keep_stopword - n_both > 0
+    THEN n_both * 1.0 / (n_keep_gopher + n_keep_stopword - n_both) END, 6)
     AS keep_jaccard,
-  ROUND(
+  ROUND(CASE WHEN (n_keep_gopher * n_keep_stopword
+          + (n_docs - n_keep_gopher) * (n_docs - n_keep_stopword)) * 1.0
+          / (n_docs * n_docs) < 1.0 THEN
     ((n_both + (n_docs - n_keep_gopher - n_keep_stopword + n_both)) * 1.0 / n_docs
      - (n_keep_gopher * n_keep_stopword
         + (n_docs - n_keep_gopher) * (n_docs - n_keep_stopword)) * 1.0
        / (n_docs * n_docs))
     / (1.0 - (n_keep_gopher * n_keep_stopword
               + (n_docs - n_keep_gopher) * (n_docs - n_keep_stopword)) * 1.0
-             / (n_docs * n_docs)), 6) AS kappa
+             / (n_docs * n_docs)) END, 6) AS kappa
 FROM agg
 """
 
