@@ -671,7 +671,10 @@ def q_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
     proven sequential-fold ``_ssd`` (bit-identical to the oracle's
     left-to-right list_sum), so argmax compares run on identical
     doubles and ROUND 9 is display-only; the oracle unrolls the
-    identical {CORESET_K} rounds as a CTE chain."""
+    identical {CORESET_K} rounds as a CTE chain. (Degenerate corpora
+    smaller than k re-select the lowest-id covered point at radius 0
+    — identically in both engines; callers wanting distinct centers
+    cap k at the corpus size.)"""
     e = table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
