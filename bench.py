@@ -176,6 +176,9 @@ HEADLINE = [
     "text_hapax_ratio",
     "market_concentration_hhi",
     "embedding_outlier_mahalanobis",
+    # round-5 wave 13: mutual information, autocorrelation
+    "corpus_mutual_information",
+    "events_autocorrelation",
 ]
 
 

@@ -39,6 +39,7 @@ from . import (
     sinks,
     sketches3,
     stats,
+    stats2,
     text,
     tpch2,
     tpch3,
@@ -320,6 +321,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_hapax_ratio",
     "market_concentration_hhi",
     "embedding_outlier_mahalanobis",
+    # round-5 wave 13 — PAST the full window: these two sit beyond
+    # slot 50 this round and rotate into the round-6 window as
+    # unchecked-first (the round-2/3 late-addition precedent); both
+    # are check_values-exact at sf0.01+sf0.1 meanwhile
+    "corpus_mutual_information",
+    "events_autocorrelation",
 )
 
 
@@ -399,6 +406,7 @@ def all_queries() -> dict[str, Query]:
         pipeline3,
         quality,
         quality2,
+        stats2,
         tuning,
         vector2,
     ):

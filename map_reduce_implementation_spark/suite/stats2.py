@@ -1,0 +1,230 @@
+"""Round-5 wave 13 — information-theoretic and time-series statistics.
+
+- ``corpus_mutual_information`` — mutual information I(lang; source)
+  over the documents table, with both marginal entropies and a
+  normalized score: the confounding audit run BEFORE training any
+  classifier on a mixture (if language is predictable from source,
+  a "quality by source" decision silently becomes a language policy —
+  the Simpson's-paradox trap of mixture curation).
+- ``events_autocorrelation`` — sample autocorrelation of the hourly
+  event-count series at lags 1, 2, and 24 (the seasonality detector:
+  r₂₄ ≈ 1 says strong daily cycle; all-near-0 says white noise). The
+  classic ACF, computed calendar-correct (lag pairs join on the hour
+  timestamp, not sequence position, so gap hours don't shift the lag).
+
+Determinism: every sum is over exact integers (cell counts, hourly
+counts and their products); the handful of double ops that follow
+(p·ln p terms over ≤|langs|·|sources| cells, the ACF's closed-form
+numerator/denominator) are identical expressions in both engines with
+ROUND 6 absorbing summation-order ulps — the unigram-NLL recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table
+from .base import Query
+
+ACF_LAGS = (1, 2, 24)
+
+
+def q_corpus_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
+    """I(lang; source) in nats, H(lang), H(source), and the
+    min-entropy-normalized MI (0 = independent, 1 = one determines
+    the other) — one row.
+
+    Plan: ONE corpus scan to the |langs|×|sources| contingency cells;
+    marginals, entropies, and the MI sum are all cell-space work. The
+    per-cell term (n_ls/n)·ln(n_ls·n/(r_l·c_s)) uses only exact
+    integer inputs; the normalized score guards the single-class case
+    (min entropy 0) with an identical CASE in both engines."""
+    d = table(spark, sf, "documents")
+    cells = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_ls"))
+        .localCheckpoint(eager=True)
+    )
+    rows = cells.groupBy("lang").agg(F.sum("n_ls").alias("r_l"))
+    cols = cells.groupBy("source").agg(F.sum("n_ls").alias("c_s"))
+    tot = cells.agg(F.sum("n_ls").alias("n"))
+    joined = (
+        cells.join(F.broadcast(rows), "lang")
+        .join(F.broadcast(cols), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = F.sum(
+        (F.col("n_ls") / F.col("n"))
+        * F.log(
+            F.col("n_ls") * F.col("n") / (F.col("r_l") * F.col("c_s"))
+        )
+    ).alias("mi_raw")
+    agg = joined.agg(F.max("n").alias("n_docs"), mi)
+    hl = rows.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(
+                (F.col("r_l") / F.col("n"))
+                * F.log(F.col("r_l") / F.col("n"))
+            )
+        ).alias("h_lang_raw")
+    )
+    hs = cols.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(
+                (F.col("c_s") / F.col("n"))
+                * F.log(F.col("c_s") / F.col("n"))
+            )
+        ).alias("h_source_raw")
+    )
+    out = agg.crossJoin(F.broadcast(hl)).crossJoin(F.broadcast(hs))
+    minh = F.least(F.col("h_lang_raw"), F.col("h_source_raw"))
+    return out.select(
+        "n_docs",
+        F.round("mi_raw", 6).alias("mi_nats"),
+        F.round("h_lang_raw", 6).alias("h_lang"),
+        F.round("h_source_raw", 6).alias("h_source"),
+        F.round(
+            F.when(minh > 0, F.col("mi_raw") / minh), 6
+        ).alias("normalized_mi"),
+    )
+
+
+SQL_CORPUS_MUTUAL_INFORMATION = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n_ls FROM documents GROUP BY 1, 2
+),
+rows_ AS (SELECT lang, CAST(SUM(n_ls) AS BIGINT) AS r_l FROM cells GROUP BY 1),
+cols_ AS (SELECT source, CAST(SUM(n_ls) AS BIGINT) AS c_s FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_ls) AS BIGINT) AS n FROM cells),
+agg AS (
+  SELECT MAX(n) AS n_docs,
+    SUM((n_ls * 1.0 / n) * ln(n_ls * n * 1.0 / (r_l * c_s))) AS mi_raw
+  FROM cells
+  JOIN rows_ ON cells.lang = rows_.lang
+  JOIN cols_ ON cells.source = cols_.source
+  CROSS JOIN tot
+),
+hl AS (
+  SELECT -SUM((r_l * 1.0 / n) * ln(r_l * 1.0 / n)) AS h_lang_raw
+  FROM rows_ CROSS JOIN tot
+),
+hs AS (
+  SELECT -SUM((c_s * 1.0 / n) * ln(c_s * 1.0 / n)) AS h_source_raw
+  FROM cols_ CROSS JOIN tot
+)
+SELECT n_docs,
+  ROUND(mi_raw, 6) AS mi_nats,
+  ROUND(h_lang_raw, 6) AS h_lang,
+  ROUND(h_source_raw, 6) AS h_source,
+  ROUND(CASE WHEN least(h_lang_raw, h_source_raw) > 0
+    THEN mi_raw / least(h_lang_raw, h_source_raw) END, 6) AS normalized_mi
+FROM agg CROSS JOIN hl CROSS JOIN hs
+"""
+
+
+def q_events_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample ACF of the hourly event-count series at lags
+    {ACF_LAGS}: rₖ = Σ(yₜ−ȳ)(yₜ₊ₖ−ȳ) / Σ(yₜ−ȳ)², pairs matched on
+    the CALENDAR hour (t and t+k both observed), mean and denominator
+    over the full observed series — the standard estimator.
+
+    Plan: one events scan to the hour-bucketed count frame (bounded
+    by the stream's time span, not its volume — localCheckpoint'd;
+    the lag joins, the scalar moments, and all three lag rows derive
+    from it with zero further corpus work). The closed form expands
+    the numerator to integer sums (Σyₜyₜ₊ₖ, Σyₜ, Σyₜ₊ₖ, pair count)
+    so both engines do the identical double arithmetic on exact
+    inputs; a constant series (zero variance) yields guarded NULLs."""
+    ev = table(spark, sf, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    scalars = hourly.agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    outs = []
+    for k in ACF_LAGS:
+        a = hourly.alias("a")
+        b = hourly.alias("b")
+        pairs = a.join(
+            b,
+            F.col("b.h")
+            == F.col("a.h") + F.expr(f"INTERVAL {k} HOURS"),
+        ).select(
+            F.col("a.y").alias("y1"), F.col("b.y").alias("y2")
+        )
+        psums = pairs.agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(F.col("y1") * F.col("y2")).alias("a12"),
+            F.sum("y1").alias("b1"),
+            F.sum("y2").alias("b2"),
+        )
+        j = psums.crossJoin(F.broadcast(scalars))
+        ybar = F.col("s").cast("double") / F.col("nh")
+        num = (
+            F.col("a12").cast("double")
+            - ybar * (F.col("b1") + F.col("b2")).cast("double")
+            + F.col("np").cast("double") * ybar * ybar
+        )
+        den = F.col("ss").cast("double") - F.col("nh").cast("double") * ybar * ybar
+        outs.append(
+            j.select(
+                F.lit(k).alias("lag"),
+                F.col("np").alias("n_pairs"),
+                F.round(F.when(den > 0, num / den), 6).alias("acf"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def _acf_oracle(lags: tuple[int, ...] = ACF_LAGS) -> str:
+    selects = []
+    for k in lags:
+        selects.append(
+            f"""SELECT {k} AS lag, np AS n_pairs,
+  ROUND(CASE WHEN CAST(ss AS DOUBLE) - CAST(nh AS DOUBLE)
+      * (CAST(s AS DOUBLE) / nh) * (CAST(s AS DOUBLE) / nh) > 0
+    THEN (CAST(a12 AS DOUBLE)
+          - (CAST(s AS DOUBLE) / nh) * CAST(b1 + b2 AS DOUBLE)
+          + CAST(np AS DOUBLE) * (CAST(s AS DOUBLE) / nh)
+            * (CAST(s AS DOUBLE) / nh))
+         / (CAST(ss AS DOUBLE) - CAST(nh AS DOUBLE)
+            * (CAST(s AS DOUBLE) / nh) * (CAST(s AS DOUBLE) / nh))
+    END, 6) AS acf
+FROM (
+  SELECT COUNT(*) AS np,
+    CAST(SUM(a.y * b.y) AS BIGINT) AS a12,
+    CAST(SUM(a.y) AS BIGINT) AS b1, CAST(SUM(b.y) AS BIGINT) AS b2
+  FROM hourly a JOIN hourly b ON b.h = a.h + INTERVAL {k} HOUR
+) CROSS JOIN scalars"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS y FROM events GROUP BY 1
+),
+scalars AS (
+  SELECT COUNT(*) AS nh, CAST(SUM(y) AS BIGINT) AS s,
+    CAST(SUM(y * y) AS BIGINT) AS ss
+  FROM hourly
+)
+{body}
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "corpus_mutual_information": Query(
+        q_corpus_mutual_information, SQL_CORPUS_MUTUAL_INFORMATION
+    ),
+    "events_autocorrelation": Query(
+        q_events_autocorrelation, _acf_oracle()
+    ),
+}
