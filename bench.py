@@ -176,9 +176,11 @@ HEADLINE = [
     "text_hapax_ratio",
     "market_concentration_hhi",
     "embedding_outlier_mahalanobis",
-    # round-5 wave 13: mutual information, autocorrelation
+    # round-5 wave 13: mutual information, autocorrelation, CUSUM, PMI
     "corpus_mutual_information",
     "events_autocorrelation",
+    "events_changepoint_cusum",
+    "text_collocations_pmi",
 ]
 
 

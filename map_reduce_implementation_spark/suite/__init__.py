@@ -327,6 +327,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # are check_values-exact at sf0.01+sf0.1 meanwhile
     "corpus_mutual_information",
     "events_autocorrelation",
+    "events_changepoint_cusum",
+    "text_collocations_pmi",
 )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..sources import table
 from .base import Query
+from .text import _tokens
 
 ACF_LAGS = (1, 2, 24)
 
@@ -220,11 +221,221 @@ scalars AS (
 """
 
 
+def q_events_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM change-point detection (Page 1954) on the hourly
+    event-count series: Sₜ = Σ≤ₜ(yᵢ − ȳ) peaks in magnitude at the
+    most likely level-shift hour. One row: the arg-max hour, the peak
+    CUSUM value, and the mean rate before/after it — the "WHEN did
+    traffic change" localizer next to the drift monitors'
+    "DID the distribution change" (events_drift_psi/ks) and the ACF's
+    "is it periodic".
+
+    Determinism: the comparison key is the INTEGER Dₜ = N·prefixₜ −
+    t·S (= N·Sₜ — same arg-max, no floats), prefix sums over the
+    bounded hourly frame; ties break on the earliest hour; the
+    reported CUSUM and means are single divisions of exact integers.
+    Plan: one events scan to the hour-bounded count frame
+    (localCheckpoint'd — the cumulative window, the arg-max cut, and
+    the before/after aggregate all derive from it), windows run on
+    |hours| rows, the arg-max is a TakeOrderedAndProject(1)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    scalars = hourly.agg(
+        F.count(F.lit(1)).alias("nh"), F.sum("y").alias("s")
+    )
+    w = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hourly.select(
+        "h",
+        F.row_number().over(Window.orderBy("h")).alias("t"),
+        F.sum("y").over(w).alias("prefix"),
+    )
+    d = cum.crossJoin(F.broadcast(scalars)).select(
+        "h",
+        "t",
+        (F.col("nh") * F.col("prefix") - F.col("t") * F.col("s")).alias(
+            "dint"
+        ),
+        "nh",
+        "s",
+    )
+    peak = d.orderBy(F.abs(F.col("dint")).desc(), F.asc("h")).limit(1)
+    before = hourly.crossJoin(F.broadcast(peak.select(F.col("h").alias("ph"))))
+    return (
+        before.groupBy()
+        .agg(
+            F.sum(F.when(F.col("h") <= F.col("ph"), F.col("y"))).alias("sb"),
+            F.count(F.when(F.col("h") <= F.col("ph"), 1)).alias("nb"),
+            F.sum(F.when(F.col("h") > F.col("ph"), F.col("y"))).alias("sa"),
+            F.count(F.when(F.col("h") > F.col("ph"), 1)).alias("na"),
+            F.max("ph").alias("changepoint_hour"),
+        )
+        .crossJoin(F.broadcast(peak.select("dint", "nh")))
+        .select(
+            F.col("nh").alias("n_hours"),
+            "changepoint_hour",
+            F.round(
+                F.col("dint").cast("double") / F.col("nh"), 6
+            ).alias("cusum_peak"),
+            F.round(F.col("sb") / F.col("nb"), 6).alias("mean_before"),
+            F.round(
+                F.when(F.col("na") > 0, F.col("sa") / F.col("na")), 6
+            ).alias("mean_after"),
+        )
+    )
+
+
+SQL_EVENTS_CHANGEPOINT_CUSUM = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS y FROM events GROUP BY 1
+),
+scalars AS (
+  SELECT COUNT(*) AS nh, CAST(SUM(y) AS BIGINT) AS s FROM hourly
+),
+cum AS (
+  SELECT h,
+    ROW_NUMBER() OVER (ORDER BY h) AS t,
+    CAST(SUM(y) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS prefix
+  FROM hourly
+),
+d AS (
+  SELECT h, t, nh * prefix - t * s AS dint, nh, s
+  FROM cum CROSS JOIN scalars
+),
+peak AS (SELECT * FROM d ORDER BY abs(dint) DESC, h ASC LIMIT 1)
+SELECT p.nh AS n_hours,
+  p.h AS changepoint_hour,
+  ROUND(CAST(p.dint AS DOUBLE) / p.nh, 6) AS cusum_peak,
+  ROUND(CAST(SUM(CASE WHEN hourly.h <= p.h THEN y END) AS BIGINT) * 1.0
+        / COUNT(CASE WHEN hourly.h <= p.h THEN 1 END), 6) AS mean_before,
+  ROUND(CASE WHEN COUNT(CASE WHEN hourly.h > p.h THEN 1 END) > 0
+    THEN CAST(SUM(CASE WHEN hourly.h > p.h THEN y END) AS BIGINT) * 1.0
+         / COUNT(CASE WHEN hourly.h > p.h THEN 1 END) END, 6) AS mean_after
+FROM hourly CROSS JOIN peak p
+GROUP BY p.nh, p.h, p.dint
+"""
+
+
+PMI_MIN_COUNT = 5  # collocation support floor
+PMI_TOP_K = 20
+
+
+def q_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{PMI_TOP_K} collocations by pointwise mutual information
+    (Church & Hanks 1990): adjacent pairs with count ≥ {PMI_MIN_COUNT}
+    scored by ln(c₁₂·U²/(B·c₁·c₂)) — the pair-level companion to
+    ``corpus_mutual_information``'s corpus-level score and the
+    classic phrase-mining primitive (tokenizer vocab seeding,
+    stopword-phrase discovery).
+
+    Plan: ONE corpus pass yields the pair counts (zip_with, no
+    shuffle to form pairs); unigram counts and the two totals are
+    aggregates of the same token stream; both model frames broadcast;
+    the cut is a TakeOrderedAndProject on (rounded PMI, pair). All
+    inputs to the single ln are exact integers."""
+    d = table(spark, sf, "documents")
+    ts = _tokens(F.col("text"))
+    n = F.size(ts)
+    pair_structs = F.zip_with(
+        F.slice(ts, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    pairs = d.select(F.explode(pair_structs).alias("b")).select(
+        "b.prev", "b.cur"
+    )
+    tok = d.select(F.explode(ts).alias("term"))
+    c1 = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    u = c1.agg(F.sum("c").alias("utot"))
+    c2 = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    btot = pairs.agg(F.count(F.lit(1)).alias("btot"))
+    scored = (
+        c2.join(
+            F.broadcast(c1.select(F.col("term").alias("prev"), F.col("c").alias("cp"))),
+            "prev",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("term").alias("cur"), F.col("c").alias("cc"))),
+            "cur",
+        )
+        .crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "prev",
+            "cur",
+            F.col("c12").alias("n_pair"),
+            # sum-of-logs form: the single-fraction ln(c12·U²/(B·c₁·c₂))
+            # overflows the integer product c12·U² once U ~ 1e9+; the
+            # decomposition is overflow-free at any scale and its ≤1-ulp
+            # per-term differences vanish under ROUND 6 (the
+            # unigram-NLL precedent)
+            F.round(
+                F.log("c12")
+                + F.lit(2.0) * F.log("utot")
+                - F.log("btot")
+                - F.log("cp")
+                - F.log("cc"),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("prev"), F.asc("cur")
+    ).limit(PMI_TOP_K)
+
+
+SQL_COLLOCATIONS_PMI = f"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS b
+  FROM t WHERE len(toks) >= 2
+), pairs AS (
+  SELECT b[1] AS prev, b[2] AS cur FROM bg
+),
+tok AS (SELECT unnest(toks) AS term FROM t),
+c1 AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+u AS (SELECT CAST(SUM(c) AS BIGINT) AS utot FROM c1),
+c2 AS (
+  SELECT prev, cur, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+btot AS (SELECT COUNT(*) AS btot FROM pairs)
+SELECT c2.prev, c2.cur, c12 AS n_pair,
+  ROUND(ln(c12) + 2.0 * ln(utot) - ln(btot) - ln(cp.c) - ln(cc.c), 6)
+    AS pmi
+FROM c2
+JOIN c1 cp ON c2.prev = cp.term
+JOIN c1 cc ON c2.cur = cc.term
+CROSS JOIN u CROSS JOIN btot
+ORDER BY pmi DESC, c2.prev ASC, c2.cur ASC LIMIT {PMI_TOP_K}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "corpus_mutual_information": Query(
         q_corpus_mutual_information, SQL_CORPUS_MUTUAL_INFORMATION
     ),
     "events_autocorrelation": Query(
         q_events_autocorrelation, _acf_oracle()
+    ),
+    "events_changepoint_cusum": Query(
+        q_events_changepoint_cusum, SQL_EVENTS_CHANGEPOINT_CUSUM
+    ),
+    "text_collocations_pmi": Query(
+        q_collocations_pmi, SQL_COLLOCATIONS_PMI
     ),
 }

@@ -141,3 +141,101 @@ def test_autocorrelation_periodic_signal(spark, tmp_path):
     # -47*4/192 = -0.979
     assert got[2]["acf"] > 0.9
     assert got[1]["acf"] < -0.9
+
+
+def test_cusum_python_replay(spark):
+    """A prefix-sum replay over the hourly series reproduces the
+    change-point hour, peak value, and both segment means."""
+    from map_reduce_implementation_spark.sources import table
+
+    ev = table(spark, SF0001, "events").select("ts").collect()
+    counts: dict[pd.Timestamp, int] = {}
+    for r in ev:
+        h = pd.Timestamp(r["ts"]).floor("h")
+        counts[h] = counts.get(h, 0) + 1
+    hours = sorted(counts)
+    nh, s = len(hours), sum(counts.values())
+    prefix, best = 0, None
+    for t, h in enumerate(hours, start=1):
+        prefix += counts[h]
+        dint = nh * prefix - t * s
+        if best is None or abs(dint) > abs(best[0]):
+            best = (dint, h)
+    dint, ph = best
+    before = [counts[h] for h in hours if h <= ph]
+    after = [counts[h] for h in hours if h > ph]
+
+    r = QS["events_changepoint_cusum"].build(spark, SF0001).collect()[0]
+    assert r["n_hours"] == nh
+    assert pd.Timestamp(r["changepoint_hour"]) == ph
+    assert abs(r["cusum_peak"] - round(dint / nh, 6)) < 1e-9
+    assert abs(r["mean_before"] - sum(before) / len(before)) < 1e-6
+    if after:
+        assert abs(r["mean_after"] - sum(after) / len(after)) < 1e-6
+
+
+def test_cusum_planted_level_shift(spark, tmp_path):
+    """A planted rate jump at hour 24 of 48 is localized exactly and
+    the segment means recover the two true rates."""
+    rows, eid = [], 0
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for h in range(48):
+        n = 2 if h < 24 else 8
+        for j in range(n):
+            rows.append((eid, base + pd.Timedelta(hours=h, minutes=j), 1, "view", 1.0, "{}"))
+            eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    r = QS["events_changepoint_cusum"].build(spark, str(tmp_path)).collect()[0]
+    assert pd.Timestamp(r["changepoint_hour"]) == base + pd.Timedelta(hours=23)
+    assert abs(r["mean_before"] - 2.0) < 1e-9
+    assert abs(r["mean_after"] - 8.0) < 1e-9
+
+
+def test_pmi_python_replay(spark):
+    """A dict replay (sum-of-logs PMI, same min-count and tie-breaks)
+    reproduces the top-20 collocations."""
+    import re
+
+    from map_reduce_implementation_spark.sources import table
+    from map_reduce_implementation_spark.suite.stats2 import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+    )
+
+    docs = table(spark, SF0001, "documents").select("text").collect()
+    c1: dict[str, int] = {}
+    c2: dict[tuple[str, str], int] = {}
+    b = 0
+    for r in docs:
+        ts = [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        for t in ts:
+            c1[t] = c1.get(t, 0) + 1
+        for x, y in zip(ts, ts[1:]):
+            c2[(x, y)] = c2.get((x, y), 0) + 1
+            b += 1
+    u = sum(c1.values())
+    scored = sorted(
+        (
+            (
+                round(
+                    math.log(c) + 2.0 * math.log(u) - math.log(b)
+                    - math.log(c1[x]) - math.log(c1[y]),
+                    6,
+                ),
+                x,
+                y,
+                c,
+            )
+            for (x, y), c in c2.items()
+            if c >= PMI_MIN_COUNT
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:PMI_TOP_K]
+
+    got = QS["text_collocations_pmi"].build(spark, SF0001).collect()
+    assert len(got) == len(scored)
+    for r, (pmi, x, y, c) in zip(got, scored):
+        assert (r["prev"], r["cur"], r["n_pair"]) == (x, y, c)
+        assert abs(r["pmi"] - pmi) < 2e-6
