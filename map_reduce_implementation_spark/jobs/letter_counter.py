@@ -65,6 +65,13 @@ def letter_counts_fast(df: DataFrame, text_col: str = "value") -> DataFrame:
 
     At 100 TB: one scan, no explode-induced 100T-row intermediate, the
     shuffle is 26 longs × partitions.
+
+    Measured round 6: the sibling single-pass shape — 26
+    ``sum(regexp_count(upper, letter))`` aggregate expressions in ONE
+    scan — reads 1.25 s on warpeace vs this shape's 1.20 s and the
+    Arrow histogram's 0.47 s: one scan does not collapse 26 per-row
+    string traversals, so any k-expression JVM shape loses to the
+    single-traversal byte histogram (README floor table).
     """
     upper = F.upper(F.col(text_col))
     sums = [

@@ -47,6 +47,57 @@ BURST_MIN_K = 12  # baseline must have at least this many buckets
 BURST_Z = 3.0
 
 
+def two_stage_retrieval(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    probe: int = TS_PROBE,
+    k: int = TS_K,
+) -> DataFrame:
+    """Parameterized core of ``similarity_two_stage_retrieval``.
+
+    ``corpus`` must expose (vec_id, embedding); ``queries`` (qid, qv as
+    double array). Split out (round 6) so the bench's retrieval scaling
+    row can hold the query batch FIXED while the corpus grows 10× —
+    the production shape whose n·probe/cells candidate-volume contract
+    the scaling row measures."""
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "c_id int, cv array<double>"
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("c_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .select("qid", "qv", "c_id", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= probe)
+        .select("qid", "qv", F.col("c_id").alias("cell"))
+    )
+    assign = ivf_assign(corpus, cents).select(
+        "vec_id", "cell", _as_double("embedding").alias("v")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 9).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "rank", "vec_id", "sim")
+    )
+
+
 def q_similarity_two_stage(spark: SparkSession, sf: str) -> DataFrame:
     """Batched two-stage retrieval: IVF candidate generation → exact
     rerank → top-{TS_K} per query, for a whole query BATCH in one plan.
@@ -75,43 +126,10 @@ def q_similarity_two_stage(spark: SparkSession, sf: str) -> DataFrame:
         .select("embedding")
         .collect()
     ]
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "c_id int, cv array<double>"
-    )
     qs = e.filter(F.col("vec_id") % TS_QMOD == TS_QREM).select(
         F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wp = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("c_id"))
-    probes = (
-        qs.crossJoin(F.broadcast(cent_df))
-        .select("qid", "qv", "c_id", d2.alias("d2"))
-        .withColumn("rk", F.row_number().over(wp))
-        .filter(F.col("rk") <= TS_PROBE)
-        .select("qid", "qv", F.col("c_id").alias("cell"))
-    )
-    assign = ivf_assign(e, cents).select(
-        "vec_id", "cell", _as_double("embedding").alias("v")
-    )
-    scored = (
-        assign.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 9).alias("sim"),
-        )
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= TS_K)
-        .select(F.col("qid").alias("query_id"), "rank", "vec_id", "sim")
-    )
+    return two_stage_retrieval(spark, e, qs, cents)
 
 
 SQL_SIMILARITY_TWO_STAGE = f"""

@@ -234,9 +234,20 @@ LIMIT 100
 
 
 def q_sample_rng(spark: SparkSession, sf: str) -> DataFrame:
-    """Bernoulli df.sample (seeded) — partition-order-dependent RNG →
-    rows-only check."""
-    return table(spark, sf, "orders").sample(0.05, seed=42).select("o_orderkey")
+    """Bernoulli df.sample (seeded) — partition-dependent RNG stream →
+    rows-only driver check; the exact sample under the test session's
+    fixed partitioning is pinned in tests/test_sample_rng_pinned.py.
+
+    Pitfall (found round 6, PySpark 4.1.2): the 2-positional-arg overload
+    ``df.sample(0.05, seed=42)`` silently DROPS the seed — the sample
+    changed across sessions (64/68/73/74 rows measured on identical
+    configs). Only the explicit ``sample(withReplacement=False,
+    fraction=, seed=)`` form is reproducible; always use it."""
+    return (
+        table(spark, sf, "orders")
+        .sample(withReplacement=False, fraction=0.05, seed=42)
+        .select("o_orderkey")
+    )
 
 
 def q_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
