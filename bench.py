@@ -185,6 +185,19 @@ HEADLINE = [
     "events_autocorrelation",
     "events_changepoint_cusum",
     "text_collocations_pmi",
+    # round-6 waves 14-15: distributional audits, smoothing, drift
+    # matrix, GT mass, readability, semantic decon, robust stats,
+    # degree census
+    "quality_benford_audit",
+    "revenue_gini",
+    "events_ema_hourly",
+    "events_interarrival",
+    "corpus_jsd_sources",
+    "corpus_good_turing",
+    "text_readability",
+    "decontaminate_semantic",
+    "quality_winsorized_stats",
+    "graph_degree_stats",
 ]
 
 

@@ -17,6 +17,7 @@ from . import (
     curation5,
     corpus2,
     corpus3,
+    corpus4,
     curation6,
     curation7,
     dedup,
@@ -40,6 +41,7 @@ from . import (
     sketches3,
     stats,
     stats2,
+    stats3,
     text,
     tpch2,
     tpch3,
@@ -331,6 +333,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_autocorrelation",
     "events_changepoint_cusum",
     "text_collocations_pmi",
+    # round-6 waves 14-15 (new entries enter the window unchecked-first
+    # regardless of position)
+    "quality_benford_audit",
+    "revenue_gini",
+    "events_ema_hourly",
+    "events_interarrival",
+    "corpus_jsd_sources",
+    "corpus_good_turing",
+    "text_readability",
+    "decontaminate_semantic",
+    "quality_winsorized_stats",
+    "graph_degree_stats",
 )
 
 
@@ -390,6 +404,7 @@ def all_queries() -> dict[str, Query]:
         curation5,
         corpus2,
         corpus3,
+        corpus4,
         curation6,
         curation7,
         drift,
@@ -417,6 +432,7 @@ def all_queries() -> dict[str, Query]:
         quality,
         quality2,
         stats2,
+        stats3,
         tuning,
         vector2,
     ):
