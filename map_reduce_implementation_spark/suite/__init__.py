@@ -20,6 +20,7 @@ from . import (
     corpus4,
     curation6,
     curation7,
+    curation8,
     dedup,
     drift,
     events,
@@ -345,6 +346,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "decontaminate_semantic",
     "quality_winsorized_stats",
     "graph_degree_stats",
+    # round-6 wave 16
+    "pareto_skyline",
+    "dedup_cluster_representatives",
+    "term_burstiness",
+    "events_value_moments",
 )
 
 
@@ -407,6 +413,7 @@ def all_queries() -> dict[str, Query]:
         corpus4,
         curation6,
         curation7,
+        curation8,
         drift,
         governance,
         sketches3,

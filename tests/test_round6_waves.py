@@ -301,3 +301,120 @@ def test_degree_stats_mass_conservation(spark):
     assert total == _trade_edges(spark, sf).count()
     assert all(r["min_deg"] >= 10 ** (r["digits"] - 1) for r in rows)
     assert all(r["max_deg"] < 10 ** r["digits"] for r in rows)
+
+
+def _orders(tmp_path, rows):
+    return _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(rows, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+    )
+
+
+def test_skyline_dominance_and_ties(spark, tmp_path):
+    """Planted frontier: a dominated point drops, duplicate
+    (price, date) points BOTH survive (mutual non-dominance), and the
+    cheapest-ever + latest-ever points always survive. Cell-exact vs
+    the definitional quadratic NOT-EXISTS oracle."""
+    from map_reduce_implementation_spark.suite.curation8 import (
+        SQL_PARETO_SKYLINE,
+    )
+
+    d = lambda s: pd.Timestamp(s).date()  # noqa: E731 — DATE, not ns-timestamp
+    rows = [
+        (1, 1, d("1997-03-10"), 100.0),  # frontier (cheapest)
+        (2, 1, d("1997-03-20"), 200.0),  # frontier (mid)
+        (3, 1, d("1997-03-15"), 250.0),  # dominated by 2 (later+cheaper)
+        (4, 1, d("1997-03-25"), 300.0),  # frontier (latest)
+        (5, 1, d("1997-03-25"), 300.0),  # duplicate of 4 — both kept
+        (6, 1, d("1997-05-01"), 1.0),    # outside the slice
+    ]
+    p = _orders(tmp_path, rows)
+    got = [
+        r["o_orderkey"]
+        for r in QS["pareto_skyline"].build(spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{p}'")
+    want = con.execute(SQL_PARETO_SKYLINE).df()["o_orderkey"].tolist()
+    assert got == want == [4, 5, 2, 1]
+
+
+def test_cluster_representatives_keep_best(spark, tmp_path):
+    """Two near-dup docs of different lengths: the representative is
+    the LONGER one (not the min id), singletons don't appear, and the
+    Spark iterative CC matches the recursive-CTE oracle."""
+    from map_reduce_implementation_spark.suite.curation8 import (
+        SQL_DEDUP_CLUSTER_REPRESENTATIVES,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a + " lambda"  # same 5-shingle prefix set, J >= 0.5, longer
+    p = _docs(
+        tmp_path,
+        [(1, a, "en", "s0", len(a)), (2, b, "en", "s0", len(b)),
+         (3, "totally unrelated content words here", "en", "s0", 36)],
+    )
+    rows = QS["dedup_cluster_representatives"].build(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cluster_id"] == 1 and r["rep_doc_id"] == 2
+    assert r["cluster_size"] == 2
+    assert (r["min_n_chars"], r["max_n_chars"]) == (len(a), len(b))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+    o = con.execute(SQL_DEDUP_CLUSTER_REPRESENTATIVES).df().iloc[0]
+    assert int(o["rep_doc_id"]) == 2 and int(o["cluster_size"]) == 2
+
+
+def test_burstiness_ratio_and_floor(spark, tmp_path):
+    """cf/df orders bursty terms first; terms under the df floor are
+    excluded entirely in both engines."""
+    from map_reduce_implementation_spark.suite.curation8 import (
+        SQL_TERM_BURSTINESS,
+    )
+
+    docs = [(i, "common bursty bursty bursty" if i == 0 else "common", "en", "s0", 20)
+            for i in range(5)]
+    p = _docs(tmp_path, docs)
+    rows = QS["term_burstiness"].build(spark, str(tmp_path)).collect()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+    odf = con.execute(SQL_TERM_BURSTINESS).df()
+    # 'bursty' has df=1 < 5 -> excluded; only 'common' (df=5, cf=5) stays
+    assert [r["term"] for r in rows] == odf["term"].tolist() == ["common"]
+    assert rows[0]["burstiness"] == float(odf["burstiness"].iloc[0]) == 1.0
+
+
+def test_value_moments_constant_and_skewed(spark, tmp_path):
+    """A constant-value type -> zero variance -> guarded NULL moments
+    in both engines; a planted skewed sample matches the numpy
+    population moments."""
+    import numpy as np
+
+    from map_reduce_implementation_spark.suite.curation8 import (
+        SQL_EVENTS_VALUE_MOMENTS,
+    )
+
+    t = pd.Timestamp("2024-01-01")
+    vals = [1.0, 1.0, 1.0, 1.0, 10.0]
+    rows = [(i, t, 1, "flat", 5.0, "{}") for i in range(4)] + [
+        (10 + i, t, 1, "skew", v, "{}") for i, v in enumerate(vals)
+    ]
+    p = _events(tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in QS["events_value_moments"].build(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{p}'")
+    odf = con.execute(SQL_EVENTS_VALUE_MOMENTS).df().set_index("event_type")
+    assert out["flat"]["skewness"] is None and pd.isna(odf.loc["flat", "skewness"])
+    q = np.array(vals) * 100
+    m = q.mean()
+    m2, m3, m4 = ((q - m) ** 2).mean(), ((q - m) ** 3).mean(), ((q - m) ** 4).mean()
+    assert out["skew"]["skewness"] == pytest.approx(m3 / m2**1.5, abs=1e-5)
+    assert out["skew"]["excess_kurtosis"] == pytest.approx(m4 / m2**2 - 3, abs=1e-5)
+    assert out["skew"]["skewness"] == pytest.approx(
+        float(odf.loc["skew", "skewness"])
+    )
