@@ -204,6 +204,12 @@ HEADLINE = [
     "dedup_cluster_representatives",
     "term_burstiness",
     "events_value_moments",
+    # round-6 wave 17: predictability, latency SLA, assortativity,
+    # seasonal index
+    "text_conditional_entropy",
+    "fulfillment_latency",
+    "graph_assortativity",
+    "orders_seasonal_index",
 ]
 
 

@@ -43,6 +43,7 @@ from . import (
     stats,
     stats2,
     stats3,
+    stats4,
     text,
     tpch2,
     tpch3,
@@ -351,6 +352,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_representatives",
     "term_burstiness",
     "events_value_moments",
+    # round-6 wave 17
+    "text_conditional_entropy",
+    "fulfillment_latency",
+    "graph_assortativity",
+    "orders_seasonal_index",
 )
 
 
@@ -440,6 +446,7 @@ def all_queries() -> dict[str, Query]:
         quality2,
         stats2,
         stats3,
+        stats4,
         tuning,
         vector2,
     ):

@@ -418,3 +418,111 @@ def test_value_moments_constant_and_skewed(spark, tmp_path):
     assert out["skew"]["skewness"] == pytest.approx(
         float(odf.loc["skew", "skewness"])
     )
+
+
+def test_conditional_entropy_degenerate(spark, tmp_path):
+    """A language whose docs have <2 tokens drops from the output; a
+    single-repeated-bigram language scores exactly 0 on every entropy
+    column in both engines."""
+    from map_reduce_implementation_spark.suite.stats4 import (
+        SQL_TEXT_CONDITIONAL_ENTROPY,
+    )
+
+    p = _docs(
+        tmp_path,
+        [
+            (1, "one", "xx", "s0", 3),           # no bigrams -> drops
+            (2, "ab ab ab ab", "yy", "s0", 11),  # one bigram type
+        ],
+    )
+    rows = {r["lang"]: r for r in QS["text_conditional_entropy"].build(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+    odf = con.execute(SQL_TEXT_CONDITIONAL_ENTROPY).df().set_index("lang")
+    assert set(rows) == set(odf.index) == {"yy"}
+    r = rows["yy"]
+    assert r["n_bigrams"] == 3
+    assert r["h_joint"] == r["h_context"] == r["h_rate"] == 0.0
+    assert r["perplexity"] == 1.0
+    assert float(odf.loc["yy", "h_rate"]) == 0.0
+
+
+def test_assortativity_star_graph(spark, tmp_path):
+    """A star trade graph (one supplier, three customers) is perfectly
+    disassortative: r = -1 in both engines."""
+    from map_reduce_implementation_spark.suite.stats4 import (
+        SQL_GRAPH_ASSORTATIVITY,
+    )
+
+    li = _write(
+        tmp_path,
+        "lineitem",
+        pd.DataFrame(
+            [(k, 7) for k in range(3)], columns=["l_orderkey", "l_suppkey"]
+        ),
+    )
+    po = _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            [(k, k) for k in range(3)], columns=["o_orderkey", "o_custkey"]
+        ),
+    )
+    r = QS["graph_assortativity"].build(spark, str(tmp_path)).collect()[0]
+    assert r["n_directed_edges"] == 6 and r["n_nodes"] == 4
+    assert r["assortativity"] == pytest.approx(-1.0, abs=1e-9)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{li}'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{po}'")
+    o = con.execute(SQL_GRAPH_ASSORTATIVITY).df().iloc[0]
+    assert float(o["assortativity"]) == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_fulfillment_latency_impossible_share(spark, tmp_path):
+    """Planted ship-before-order rows land in impossible_share as an
+    exact integer ratio; percentiles agree across engines."""
+    from map_reduce_implementation_spark.suite.stats4 import (
+        SQL_FULFILLMENT_LATENCY,
+    )
+
+    d = lambda s: pd.Timestamp(s).date()  # noqa: E731
+    lip = str(tmp_path / "lineitem.parquet")
+    pd.DataFrame(
+        [(1, d("2020-01-05")), (2, d("2020-01-01")), (3, d("2020-01-11"))],
+        columns=["l_orderkey", "l_shipdate"],
+    ).to_parquet(lip)
+    op = str(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        [(1, d("2020-01-03"), "1-URGENT"), (2, d("2020-01-03"), "1-URGENT"),
+         (3, d("2020-01-03"), "1-URGENT")],
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).to_parquet(op)
+    r = QS["fulfillment_latency"].build(spark, str(tmp_path)).collect()[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{lip}'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{op}'")
+    o = con.execute(SQL_FULFILLMENT_LATENCY).df().iloc[0]
+    # gaps: +2, -2, +8 days -> mean 8/3, one negative of three
+    assert r["n_items"] == int(o["n_items"]) == 3
+    assert r["mean_days"] == pytest.approx(8 / 3, abs=1e-6)
+    assert r["impossible_share"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r["p50_days"] == float(o["p50_days"]) == 2.0
+
+
+def test_seasonal_index_flat_year(spark, tmp_path):
+    """Identical revenue every month -> every seasonal index is
+    exactly 1.0 in both engines."""
+    from map_reduce_implementation_spark.suite.stats4 import (
+        SQL_ORDERS_SEASONAL_INDEX,
+    )
+
+    d = lambda s: pd.Timestamp(s).date()  # noqa: E731
+    rows = [(m, 1, d(f"2020-{m:02d}-15"), 100.0) for m in range(1, 13)]
+    p = _orders(tmp_path, rows)
+    out = QS["orders_seasonal_index"].build(spark, str(tmp_path)).collect()
+    assert len(out) == 12
+    assert all(r["seasonal_index"] == 1.0 for r in out)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{p}'")
+    odf = con.execute(SQL_ORDERS_SEASONAL_INDEX).df()
+    assert (odf["seasonal_index"] == 1.0).all()
