@@ -210,6 +210,10 @@ HEADLINE = [
     "fulfillment_latency",
     "graph_assortativity",
     "orders_seasonal_index",
+    # round-6 wave 18: vector drift, duplication inflation, churn hazard
+    "embedding_centroid_drift",
+    "dedup_inflation_report",
+    "events_churn_hazard",
 ]
 
 

@@ -23,6 +23,7 @@ from . import (
     curation8,
     dedup,
     drift,
+    drift2,
     events,
     governance,
     graph,
@@ -357,6 +358,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fulfillment_latency",
     "graph_assortativity",
     "orders_seasonal_index",
+    # round-6 wave 18
+    "embedding_centroid_drift",
+    "dedup_inflation_report",
+    "events_churn_hazard",
 )
 
 
@@ -421,6 +426,7 @@ def all_queries() -> dict[str, Query]:
         curation7,
         curation8,
         drift,
+        drift2,
         governance,
         sketches3,
         graph,

@@ -526,3 +526,80 @@ def test_seasonal_index_flat_year(spark, tmp_path):
     con.execute(f"CREATE VIEW orders AS SELECT * FROM '{p}'")
     odf = con.execute(SQL_ORDERS_SEASONAL_INDEX).df()
     assert (odf["seasonal_index"] == 1.0).all()
+
+
+def test_centroid_drift_planted_shift(spark, tmp_path):
+    """A label whose odd half is shifted +1 on dim 0 reads exactly
+    l2_shift 1.0; an identical-halves label reads 0 with cosine 1;
+    a label present in one half only is excluded — in both engines."""
+    from map_reduce_implementation_spark.suite.drift2 import (
+        SQL_EMBEDDING_CENTROID_DRIFT,
+    )
+
+    rows = []
+    for i in range(4):  # label 0: even half [1,0], odd half [2,0]
+        rows.append((i, [1.0 + (i % 2), 0.0], 0))
+    for i in range(4, 8):  # label 1: identical halves [0,3]
+        rows.append((i, [0.0, 3.0], 1))
+    rows.append((8, [5.0, 5.0], 2))  # label 2: even half only
+    p = _write(
+        tmp_path,
+        "embeddings",
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+    )
+    out = {
+        r["label"]: r
+        for r in QS["embedding_centroid_drift"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0]["centroid_l2_shift"] == 1.0
+    assert out[1]["centroid_l2_shift"] == 0.0
+    assert out[1]["centroid_cosine"] == 1.0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{p}'")
+    odf = con.execute(SQL_EMBEDDING_CENTROID_DRIFT).df().set_index("label")
+    assert set(odf.index) == {0, 1}
+    assert float(odf.loc[0, "centroid_l2_shift"]) == 1.0
+    assert float(odf.loc[1, "centroid_cosine"]) == 1.0
+
+
+def test_inflation_exact_copies(spark, tmp_path):
+    """Three copies of a 4-token doc + one unique 2-token doc:
+    inflation = (3*4 + 2) / (4 + 2) = 14/6 exactly, both engines."""
+    from map_reduce_implementation_spark.suite.drift2 import (
+        SQL_DEDUP_INFLATION_REPORT,
+    )
+
+    p = _docs(
+        tmp_path,
+        [(i, "a b c d", "en", "s0", 7) for i in range(3)]
+        + [(9, "x y", "en", "s0", 3)],
+    )
+    r = QS["dedup_inflation_report"].build(spark, str(tmp_path)).collect()[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+    o = con.execute(SQL_DEDUP_INFLATION_REPORT).df().iloc[0]
+    assert r["n_docs"] == int(o["n_docs"]) == 4
+    assert r["n_unique"] == int(o["n_unique"]) == 2
+    assert r["total_tokens"] == int(o["total_tokens"]) == 14
+    assert r["unique_tokens"] == int(o["unique_tokens"]) == 6
+    assert r["inflation"] == float(o["inflation"]) == 14 / 6
+
+
+def test_churn_hazard_planted_gaps(spark, tmp_path):
+    """Gaps of 30 min, 2 h, and 2 days: exceedance shares walk down
+    the thresholds as exact integer ratios in both engines."""
+    from map_reduce_implementation_spark.suite.drift2 import _hazard_oracle
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    ts = [t0, t0 + pd.Timedelta(minutes=30), t0 + pd.Timedelta(minutes=30) + pd.Timedelta(hours=2),
+          t0 + pd.Timedelta(minutes=30) + pd.Timedelta(hours=2) + pd.Timedelta(days=2)]
+    p = _events(tmp_path, [(i, t, 1, "a", 0.0, "{}") for i, t in enumerate(ts)])
+    rows = {r["threshold_s"]: r for r in QS["events_churn_hazard"].build(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{p}'")
+    odf = con.execute(_hazard_oracle()).df().set_index("threshold_s")
+    assert rows[3600]["n_exceed"] == int(odf.loc[3600, "n_exceed"]) == 2
+    assert rows[86400]["n_exceed"] == int(odf.loc[86400, "n_exceed"]) == 1
+    assert rows[259200]["n_exceed"] == 0
+    assert rows[3600]["exceed_share"] == float(odf.loc[3600, "exceed_share"]) == 2 / 3
