@@ -51,7 +51,15 @@ X50_COPIES = 50
 # stable through round 5's twelve quiet sessions)
 HEADLINE_CHUNK = 55
 
-# headline queries: one per operator family (SURVEY.md §2 coverage)
+# headline queries: one per operator family (SURVEY.md §2 coverage).
+#
+# APPEND-ONLY — chunk membership is positional (HEADLINE order, fixed
+# HEADLINE_CHUNK), so a mid-list insertion silently shifts every later
+# query into a different chunk/session position and breaks the
+# documented round-over-round comparability. New queries go at the END
+# of the list only. As a tripwire, the full bench record also carries a
+# per-query chunk index ("chunks" in bench_runs/latest_full.json) so a
+# cross-round comparison can detect any accidental chunk move.
 HEADLINE = [
     "letter_counter",
     "word_finder",
@@ -299,12 +307,15 @@ SCALE_X100_QUERIES = [
 ]
 
 # vector-family scaling arm (SemDeDup): cluster count scales WITH the
-# corpus (k = 8 at 1x, 80 at 10x — fixed target cell size, the paper's
-# own protocol: tens of thousands of clusters at web scale), so the
-# per-cell quadratic term stays constant and total work is linear in n.
+# corpus (k = 8 at 1x, 80 at 10x, 800 at 100x — fixed target cell size,
+# the paper's own protocol: tens of thousands of clusters at web scale),
+# so the per-cell quadratic term stays constant and total work is linear
+# in n plus the n·k assignment gemm (the term the paper itself runs on
+# accelerators; at fixed cell size it is the known n²/cell cost of exact
+# assignment — the measured second-decade slope prices it honestly).
 # Centroids (first-k vectors, the graded twin's quantizer) are computed
 # OUTSIDE the timed region: quantizer training is train-once-assign-many.
-SEM_SCALE_K = {1: 8, 10: 80}
+SEM_SCALE_K = {1: 8, 10: 80, 100: 800}
 _SEM_CENTS: dict = {}
 
 # retrieval-family scaling arm (two-stage IVF→rerank, round 6): the
@@ -317,7 +328,11 @@ _SEM_CENTS: dict = {}
 # sit well under 1. Centroids and the query batch are built outside
 # the timed region (quantizer training / query arrival are not the
 # retrieval pass).
-TS_SCALE_CELLS = {1: 8, 10: 80}
+# 100×: cells scale on (800), probe count and query batch stay fixed —
+# per-query candidate volume n·probe/cells constant through the second
+# decade, same contract as the first (round-7 addition: retrieval was
+# the only 10×-measured family without a second-decade point).
+TS_SCALE_CELLS = {1: 8, 10: 80, 100: 800}
 _TS_STATE: dict = {}
 
 
@@ -347,7 +362,15 @@ def _two_stage_scale_df(spark, corpus_dir: str, cells: int):
         .filter(F.col("vec_id") % TS_QMOD == TS_QREM)
         .select(F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv"))
     )
-    return two_stage_retrieval(spark, corpus, qs, _TS_STATE[key])
+    # gemm assignment FORCED at every point (1×/10×/100×) so the slope
+    # prices one physical strategy across both decades — the production
+    # IVF shape. The literal-fold quantizer is expression-size-bounded
+    # (k=800 never planned, round 7) and past k=32 ivf_assign switches
+    # anyway; forcing it at k=8 keeps the 1× denominator on the same
+    # code path. The hash-graded headline query keeps the literal path.
+    return two_stage_retrieval(
+        spark, corpus, qs, _TS_STATE[key], assign_gemm_threshold=0
+    )
 
 
 def _semantic_scale_df(spark, sf_dir: str, k: int):
@@ -570,6 +593,49 @@ def _ensure_trade_xn(spark, copies: int, dirname: str) -> bool:
     return li is not None and orders is not None
 
 
+def _ensure_rel_xn(spark, copies: int, dirname: str) -> str | None:
+    """``copies``× RELATIONAL corpus for the join-family scaling row
+    (round 7 — the ninth family; until now every measured slope was
+    text/vector/graph/events while the join/window half of the suite
+    had only a structural 100 TB argument). FACT tables (lineitem,
+    orders, all columns) grow ×copies with o_orderkey/l_orderkey
+    shifted by the shared 10M stride so join keys stay aligned within
+    a copy; DIMENSION tables are copied at 1× — exactly the 100 TB
+    shape: facts grow, the broadcast sides don't. Gets its OWN dir
+    (not docs_x10) because the trade-graph builder writes a pruned
+    2-column lineitem/orders pair into the shared scale dirs."""
+    import shutil
+
+    li = _ensure_xn(
+        spark,
+        copies,
+        dirname,
+        "lineitem.parquet",
+        "l_orderkey",
+        lambda s: s.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")),
+    )
+    orders = _ensure_xn(
+        spark,
+        copies,
+        dirname,
+        "orders.parquet",
+        "o_orderkey",
+        lambda s: s.read.parquet(os.path.join(SF_DIR, "orders.parquet")),
+    )
+    if li is None or orders is None:
+        return None
+    out_dir = os.path.join(REPO, ".bench_data", dirname)
+    try:
+        for t in ("region", "nation", "supplier", "customer", "part"):
+            dst = os.path.join(out_dir, f"{t}.parquet")
+            if not os.path.exists(dst):
+                shutil.copyfile(os.path.join(SF_DIR, f"{t}.parquet"), dst)
+    except OSError as exc:
+        print(f"{dirname} dim copy unavailable: {exc}", file=sys.stderr)
+        return None
+    return out_dir
+
+
 def _time(fn, warmup: bool = True, runs: int = 3) -> float:
     """Best-of-N after a warm-up — the same protocol BASELINE.md used to
     measure the reference (best of 3, warm cache)."""
@@ -763,6 +829,66 @@ def main() -> int:
                     file=sys.stderr,
                 )
             spark.catalog.clearCache()
+        # relational family (round 7, the ninth): TPC-H Q5 shape over
+        # ×10 facts with 1× broadcast dims — one fact-fact shuffle
+        # (orders⋈lineitem) grows linearly, everything else map-side.
+        # The join/window half of the suite finally gets a measured
+        # slope instead of a structural argument.
+        rel10 = _ensure_rel_xn(spark, 10, "rel_x10")
+        if rel10:
+            rq = qs["join_region_revenue"]
+            try:
+                scaling["join_region_revenue"] = {
+                    **_scale_row(
+                        lambda: _run_noop(rq.build(spark, SF_DIR)),
+                        lambda: _run_noop(rq.build(spark, rel10)),
+                    ),
+                    "corpus": "facts x10, dims 1x (broadcast sides fixed)",
+                }
+            except Exception as exc:
+                print(
+                    f"scaling bench join_region_revenue failed: {exc}",
+                    file=sys.stderr,
+                )
+            spark.catalog.clearCache()
+        # --- second-decade (100×) points, round 7: the 10×-only
+        # families get the same treatment the capped/minhash/winnow/
+        # line-level arms already have — driver-side and skew effects
+        # surface in the second decade, not the first. Each reuses its
+        # arm's own corpus convention at ×100 and the minhash x100
+        # pattern: warm + best-of-2, slope vs the arm's sec_x1.
+        def _x100_point(name: str, build100) -> None:
+            if name not in scaling:
+                return
+            try:
+                t100 = _time(lambda: _run_noop(build100()), runs=2)
+                row = scaling[name]
+                row["sec_x100"] = round(t100, 4)
+                row["slope_x100_vs_linear"] = round(
+                    t100 / (100 * row["sec_x1"]), 3
+                )
+            except Exception as exc:
+                print(f"scaling bench {name} x100 failed: {exc}", file=sys.stderr)
+            spark.catalog.clearCache()
+
+        if _ensure_embs_xn(spark, 100, "docs_x100"):
+            x100e = os.path.join(REPO, ".bench_data", "docs_x100")
+            _x100_point(
+                "similarity_two_stage_retrieval",
+                lambda: _two_stage_scale_df(spark, x100e, TS_SCALE_CELLS[100]),
+            )
+            _x100_point(
+                "dedup_semantic",
+                lambda: _semantic_scale_df(spark, x100e, SEM_SCALE_K[100]),
+            )
+        if _ensure_events_xn(spark, 100, "docs_x100"):
+            x100d = os.path.join(REPO, ".bench_data", "docs_x100")
+            dq100 = qs["events_drift_psi"]
+            _x100_point("events_drift_psi", lambda: dq100.build(spark, x100d))
+        if _ensure_trade_xn(spark, 100, "docs_x100"):
+            x100g = os.path.join(REPO, ".bench_data", "docs_x100")
+            gq100 = qs["graph_pagerank"]
+            _x100_point("graph_pagerank", lambda: gq100.build(spark, x100g))
     x100 = _ensure_docs_xn(spark, 100, "docs_x100")
     for x100_q in SCALE_X100_QUERIES:
         if not (x100 and x100_q in scaling):
@@ -826,6 +952,11 @@ def main() -> int:
         "throughput": throughput,
         "scaling": scaling,
         "sf": sf_val,
+        # chunk-move tripwire (full record only — trimmed from the
+        # printed line): which fresh-session chunk each headline query
+        # ran in, so cross-round per-query comparisons can verify the
+        # chunk position didn't shift (HEADLINE is append-only).
+        "chunks": {n: i // HEADLINE_CHUNK for i, n in enumerate(HEADLINE)},
     }
     # Full per-query record always lands on disk (bench_runs/ keeps the
     # committed per-round run files); round-robin snapshots are copied
@@ -843,11 +974,12 @@ def main() -> int:
     # serialized line fits with headroom. queries_omitted records the
     # trim; the full map is in bench_runs/latest_full.json.
     qmap = {k: round(v, 2) for k, v in results.items()}
-    line_rec = {**record, "queries": qmap}
+    line_base = {k: v for k, v in record.items() if k != "chunks"}
+    line_rec = {**line_base, "queries": qmap}
     while len(json.dumps(line_rec)) > 1800 and qmap:
         qmap.pop(next(reversed(qmap)))
         line_rec = {
-            **record,
+            **line_base,
             "queries": qmap,
             "queries_omitted": len(results) - len(qmap),
         }

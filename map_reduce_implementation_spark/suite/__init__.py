@@ -75,12 +75,14 @@ from . import (
 # changed values and was pushed past slot 50; similarity_cosine_pairs now
 # takes the gemm-candidate + exact-verify path (bit-identical, re-grade
 # anyway).
-RE_GRADE_HEAD: tuple[str, ...] = (
-    "multimodal_resize",
-    "multimodal_audio_decode",
-    "graph_pagerank",
-    "similarity_cosine_pairs",
-)
+#
+# Round-7: all four round-6 heads were re-graded hash-exact by the r06
+# driver run (CORRECTNESS_r06), so the head list is EMPTY again — they
+# rejoin the oldest-first green tail with a fresh last-checked round and
+# the 4 freed slots go to the oldest (r02-vintage) greens. Add names here
+# ONLY when a green entry's semantics or plan changed since its last
+# driver check.
+RE_GRADE_HEAD: tuple[str, ...] = ()
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # round-5 re-grade head (driver-green again in r05; with the round-6
@@ -385,9 +387,15 @@ def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     green: set[str] = set()
     red: set[str] = set()
     last: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    def _round_of(path: str) -> int:
         m = re.search(r"_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+        return int(m.group(1)) if m else 0
+
+    # Numeric order, NOT filename order: green/red overrides must apply
+    # newest-round-last, and lexicographic glob order mis-sorts once the
+    # round number outgrows its zero padding (r100 < r20 as strings).
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=_round_of):
+        rnd = _round_of(path)
         try:
             with open(path) as fh:
                 data = json.load(fh)

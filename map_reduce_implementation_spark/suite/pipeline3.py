@@ -54,6 +54,7 @@ def two_stage_retrieval(
     cents: list[list[float]],
     probe: int = TS_PROBE,
     k: int = TS_K,
+    assign_gemm_threshold: int = 32,
 ) -> DataFrame:
     """Parameterized core of ``similarity_two_stage_retrieval``.
 
@@ -78,7 +79,7 @@ def two_stage_retrieval(
         .filter(F.col("rk") <= probe)
         .select("qid", "qv", F.col("c_id").alias("cell"))
     )
-    assign = ivf_assign(corpus, cents).select(
+    assign = ivf_assign(corpus, cents, gemm_threshold=assign_gemm_threshold).select(
         "vec_id", "cell", _as_double("embedding").alias("v")
     )
     scored = (

@@ -124,6 +124,16 @@ def main() -> int:
     args = sys.argv[2:]
     if "--only" in args:
         only = set(args[args.index("--only") + 1].split(","))
+    # --json <path>: ALSO write a machine-readable per-query verdict map
+    # {name: "exact"|"tol"|"rows_only"|"failed"} — the committed
+    # CHECKVALUES_r{N}.json artifact (VERDICT r06 "What's missing" #1:
+    # the full-suite strict check must be auditable, not prose). Merges
+    # into an existing file so the sf0.01 and sf0.1 passes (and the
+    # split sf0.1 halves) accumulate into one artifact keyed by sf dir.
+    json_path: str | None = None
+    if "--json" in args:
+        json_path = args[args.index("--json") + 1]
+    verdicts: dict[str, str] = {}
     import duckdb
 
     import __spark_entry__ as e
@@ -150,9 +160,11 @@ def main() -> int:
             print(f"FAIL {name}: non-scalar output columns (driver canon would "
                   f"crash): {unhash}")
             n_bad += 1
+            verdicts[name] = "failed"
             continue
         if name not in osql:
             n_rows_only += 1
+            verdicts[name] = "rows_only"
             continue
         s_rows = [tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
         rel = con.execute(osql[name])
@@ -164,21 +176,26 @@ def main() -> int:
             print(f"FAIL {name}: pandas dtype mismatch (driver hash would differ): "
                   + "; ".join(bad_dtypes))
             n_bad += 1
+            verdicts[name] = "failed"
             continue
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
             n_bad += 1
+            verdicts[name] = "failed"
             continue
         a = _rows_sorted(s_cols, s_rows)
         b = _rows_sorted(d_cols, d_rows)
         exact, tol, dev = _compare(a, b)
         if exact:
             n_exact += 1
+            verdicts[name] = "exact"
         elif tol:
             n_tol += 1
+            verdicts[name] = "tol"
             print(f"TOL  {name}: values match at 1e-9 but NOT bit-exact (max rel dev {dev:.2e})")
         else:
             n_bad += 1
+            verdicts[name] = "failed"
             print(f"FAIL {name}: value mismatch (max rel dev {dev:.2e}, rows {len(a)} vs {len(b)})")
             for ra, rb in list(zip(a, b))[:200]:
                 if ra != rb:
@@ -188,6 +205,27 @@ def main() -> int:
         f"\n{n_exact} exact, {n_tol} within-tolerance, {n_bad} FAILED, "
         f"{n_rows_only} rows-only (no oracle)"
     )
+    if json_path:
+        import json as _json
+
+        existing: dict = {}
+        if os.path.exists(json_path):
+            try:
+                with open(json_path) as fh:
+                    existing = _json.load(fh)
+            except (OSError, ValueError):
+                existing = {}
+        sf_key = os.path.basename(sf.rstrip("/"))
+        merged = existing.get(sf_key, {})
+        merged.update(verdicts)
+        existing[sf_key] = dict(sorted(merged.items()))
+        existing[sf_key + "_summary"] = {
+            v: sum(1 for x in existing[sf_key].values() if x == v)
+            for v in ("exact", "tol", "rows_only", "failed")
+        }
+        with open(json_path, "w") as fh:
+            _json.dump(existing, fh, indent=1)
+        print(f"wrote {json_path} [{sf_key}]")
     return 1 if n_bad else 0
 
 
