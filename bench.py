@@ -974,7 +974,26 @@ def main() -> int:
     # serialized line fits with headroom. queries_omitted records the
     # trim; the full map is in bench_runs/latest_full.json.
     qmap = {k: round(v, 2) for k, v in results.items()}
+    # The one-line record must fit the driver's ~2000-char stdout tail.
+    # With nine scaling families the full scaling dict alone is ~1.5 KB
+    # and crowded the ENTIRE per-query map out of round-7's first run
+    # (queries_omitted=131, parity numbers lost) — so the line carries
+    # only each family's load-bearing numbers (points + slopes);
+    # sec_x10_cold and the protocol annotations stay in
+    # bench_runs/latest_full.json, which is committed per round.
+    _LINE_SCALE_KEYS = (
+        "sec_x1",
+        "sec_x10",
+        "sec_x100",
+        "slope_vs_linear",
+        "slope_x100_vs_linear",
+    )
+    line_scaling = {
+        name: {k: row[k] for k in _LINE_SCALE_KEYS if k in row}
+        for name, row in scaling.items()
+    }
     line_base = {k: v for k, v in record.items() if k != "chunks"}
+    line_base["scaling"] = line_scaling
     line_rec = {**line_base, "queries": qmap}
     while len(json.dumps(line_rec)) > 1800 and qmap:
         qmap.pop(next(reversed(qmap)))

@@ -62,7 +62,11 @@ def two_stage_retrieval(
     double array). Split out (round 6) so the bench's retrieval scaling
     row can hold the query batch FIXED while the corpus grows 10× —
     the production shape whose n·probe/cells candidate-volume contract
-    the scaling row measures."""
+    the scaling row measures. ``assign_gemm_threshold`` passes through
+    to ``ivf_assign`` (round 7): the scaling arm forces the gemm
+    quantizer at every point (the literal-fold expression is
+    k×dim-bounded and never plans at the 100× arm's k=800), while the
+    hash-graded suite query keeps the default literal path at k=8."""
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "c_id int, cv array<double>"
     )
