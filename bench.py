@@ -889,6 +889,13 @@ def main() -> int:
             x100g = os.path.join(REPO, ".bench_data", "docs_x100")
             gq100 = qs["graph_pagerank"]
             _x100_point("graph_pagerank", lambda: gq100.build(spark, x100g))
+        # relational second decade: facts ×100 (1.1 GB lineitem), dims
+        # still 1× broadcast — the fact-fact shuffle is the only term
+        # that grows, so the decade should read like a scan+shuffle job
+        rel100 = _ensure_rel_xn(spark, 100, "rel_x100")
+        if rel100:
+            rq100 = qs["join_region_revenue"]
+            _x100_point("join_region_revenue", lambda: rq100.build(spark, rel100))
     x100 = _ensure_docs_xn(spark, 100, "docs_x100")
     for x100_q in SCALE_X100_QUERIES:
         if not (x100 and x100_q in scaling):
