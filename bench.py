@@ -42,6 +42,12 @@ import zipfile
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# The bench harness needs more heap than the test default: the first
+# session runs parity + nine scaling arms + seven 100× points (1.1 GB
+# relational corpus, 60M-edge graph, 10M-event stream) in one JVM, and
+# round-7 run 6 OOM'd the 8g default mid-x100 after ~25 min of
+# accumulated session state. Respects an explicit user override.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
 WARPEACE_ZIP = "/root/reference/proj_2_base.zip"
 WARPEACE_LOCAL = os.path.join(REPO, ".bench_data", "input-warpeace.txt")
 WARPEACE_X50 = os.path.join(REPO, ".bench_data", "warpeace_x50.txt")
@@ -857,6 +863,19 @@ def main() -> int:
         # surface in the second decade, not the first. Each reuses its
         # arm's own corpus convention at ×100 and the minhash x100
         # pattern: warm + best-of-2, slope vs the arm's sec_x1.
+        #
+        # The x100 block gets a FRESH SparkSession: every slope pairs a
+        # 100× point against its arm's sec_x1 measured minutes earlier,
+        # and by this point the first session carries ~25 minutes of
+        # accumulated heap/GC state — run 6 OOM'd here at 8g. A fresh
+        # JVM (plus the 16g harness default above) keeps the 100×
+        # points in reproducible right-after-startup state, the same
+        # reasoning as the chunked headline. Each point warms in the
+        # new session before timing (_time warms by default), and the
+        # centroid/query caches (_TS_STATE, _SEM_CENTS) are plain
+        # Python lists — session-independent.
+        spark.stop()
+        spark = get_spark(app_name="bench-x100")
         def _x100_point(name: str, build100) -> None:
             if name not in scaling:
                 return
