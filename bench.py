@@ -748,7 +748,7 @@ def main() -> int:
             if dj100 and "dedup_minhash_lsh" in scaling:
                 try:
                     t100 = _time(
-                        lambda: _run_noop(mq.build(spark, dj100)), runs=2
+                        lambda: _run_noop(mq.build(spark, dj100)), runs=3
                     )
                     row = scaling["dedup_minhash_lsh"]
                     row["sec_x100"] = round(t100, 4)
@@ -880,7 +880,7 @@ def main() -> int:
             if name not in scaling:
                 return
             try:
-                t100 = _time(lambda: _run_noop(build100()), runs=2)
+                t100 = _time(lambda: _run_noop(build100()), runs=3)
                 row = scaling[name]
                 row["sec_x100"] = round(t100, 4)
                 row["slope_x100_vs_linear"] = round(
@@ -921,7 +921,7 @@ def main() -> int:
             continue
         q = qs[x100_q]
         try:
-            t100 = _time(lambda: _run_noop(q.build(spark, x100)), runs=2)
+            t100 = _time(lambda: _run_noop(q.build(spark, x100)), runs=3)
             row = scaling[x100_q]
             row["sec_x100"] = round(t100, 4)
             row["slope_x100_vs_linear"] = round(t100 / (100 * row["sec_x1"]), 3)
