@@ -339,14 +339,52 @@ def ivf_assign(
         list(embeddings.schema.fields) + [T.StructField("cell", T.IntegerType())]
     )
 
+    def _argmin_cells(m: "np.ndarray") -> "np.ndarray":
+        d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ C.T) + cn[None, :]
+        # np.argmin ties → lowest index, same rule as the literal
+        # path's array_position-of-min
+        return d2.argmin(axis=1).astype("int32")
+
+    def _cells_or_null(m: "np.ndarray"):
+        # Arrow folds a NULL array element into NaN on the way to
+        # numpy, so a null-element vector reaches here as a NaN row —
+        # the literal path nulls its whole fold for that vector, so
+        # null the cell here too (instead of argmin-over-NaN = 0).
+        # Clean batches (the scale path) take one isnan scan, no copy.
+        nanrows = np.isnan(m).any(axis=1)
+        if not nanrows.any():
+            return _argmin_cells(m)
+        cells = _argmin_cells(np.nan_to_num(m, nan=0.0))
+        return pd.array(np.where(nanrows, None, cells), dtype="Int32")
+
     def assign(batches):
+        dim = C.shape[1]
         for pdf in batches:
-            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ C.T) + cn[None, :]
             out = pdf.copy()
-            # np.argmin ties → lowest index, same rule as the literal
-            # path's array_position-of-min
-            out["cell"] = d2.argmin(axis=1).astype("int32")
+            if not len(pdf):
+                out["cell"] = pd.array([], dtype="Int32")
+                yield out
+                continue
+            vecs = pdf[vec_col].to_numpy()
+            try:
+                out["cell"] = _cells_or_null(np.stack(vecs).astype(np.float64))
+            except (ValueError, TypeError):
+                # null or ragged vectors: the literal path yields a null
+                # cell for these rows (null propagates through the fold
+                # and array_position) — match it so the two physical
+                # strategies stay interchangeable instead of failing the
+                # task on np.stack. Row-at-a-time only on this rescue
+                # path; clean batches stay on the one-gemm fast path.
+                cells: list[int | None] = []
+                for v in vecs:
+                    try:
+                        a = np.asarray(v, dtype=np.float64)
+                        if a.shape != (dim,) or np.isnan(a).any():
+                            raise ValueError
+                        cells.append(int(_argmin_cells(a[None, :])[0]))
+                    except (ValueError, TypeError):
+                        cells.append(None)
+                out["cell"] = pd.array(cells, dtype="Int32")
             yield out
 
     return embeddings.mapInPandas(assign, schema=out_schema)

@@ -65,14 +65,25 @@ def _check(tag: str, rec: dict, spec: dict, errors: list[str], *,
         row = scaling.get(fam)
         if not isinstance(row, dict):
             continue
-        if run is None:
-            if rnd < fspec.get("driver_since", 0):
-                continue
-        else:
-            if (rnd, run) < tuple(fspec.get("since", [0, 0])):
-                continue
         for metric in ("slope_vs_linear", "slope_x100_vs_linear"):
             if metric not in row or metric not in fspec:
+                continue
+            # the x100 protocol is gated separately from the 10x arm
+            # (round 8 moved every 100x point to its own fresh JVM with
+            # an in-session interleaved 1x denominator — x100_since —
+            # while the 10x arm protocol was unchanged)
+            if metric == "slope_x100_vs_linear":
+                since = fspec.get("x100_since", fspec.get("since", [0, 0]))
+                driver_since = fspec.get(
+                    "x100_driver_since", fspec.get("driver_since", 0)
+                )
+            else:
+                since = fspec.get("since", [0, 0])
+                driver_since = fspec.get("driver_since", 0)
+            if run is None:
+                if rnd < driver_since:
+                    continue
+            elif (rnd, run) < tuple(since):
                 continue
             lo, hi = fspec[metric]
             v = row[metric]

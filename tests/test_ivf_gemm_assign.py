@@ -79,6 +79,48 @@ def test_gemm_assign_large_k_plans_and_runs(spark):
         assert got[r.vec_id] == want
 
 
+def test_gemm_assign_dirty_inputs_match_literal_nulls(spark):
+    """Round-8 hardening (ADVICE r07): null / ragged / null-element
+    vectors must yield a NULL cell on the gemm path — the literal path
+    nulls the whole fold for them — instead of failing the task on
+    np.stack; and a zero-row partition must pass through empty. Clean
+    rows in the same dirty batch still get their true argmin."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, None),  # null vector
+        (3, [1.0]),  # ragged (wrong dim)
+        (4, [1.0, None]),  # null element
+    ]
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    # >2 partitions so at least one Arrow batch is empty after the
+    # 5 rows land elsewhere — exercises the zero-row guard
+    df = spark.createDataFrame(rows, schema).repartition(8)
+    lit = {
+        r.vec_id: r.cell
+        for r in ivf_assign(df, cents).select("vec_id", "cell").collect()
+    }
+    gemm = {
+        r.vec_id: r.cell
+        for r in ivf_assign(df, cents, gemm_threshold=0)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert gemm == {0: 0, 1: 1, 2: None, 3: None, 4: None}
+    assert lit == gemm
+    assert np is not None
+
+
 def test_two_stage_retrieval_gemm_identical(spark):
     """Forcing gemm assignment through the retrieval pipeline (the
     scaling arm's configuration) returns the same (query, rank, id,
