@@ -811,6 +811,16 @@ def _x100_specs(qs) -> list:
             lambda: _run_noop(rq.build(spark, rel100)),
         )
 
+    def _agg(spark):
+        rel100 = _ensure_rel_xn(spark, 100, "rel_x100")
+        if not rel100:
+            return None
+        pq = qs["pricing_summary"]
+        return (
+            lambda: _run_noop(pq.build(spark, SF_DIR)),
+            lambda: _run_noop(pq.build(spark, rel100)),
+        )
+
     return [
         ("dedup_ngram_jaccard_capped", _shared("dedup_ngram_jaccard_capped")),
         ("dedup_line_level", _shared("dedup_line_level")),
@@ -821,6 +831,7 @@ def _x100_specs(qs) -> list:
         ("graph_pagerank", _pagerank),
         ("similarity_two_stage_retrieval", _retrieval),
         ("join_region_revenue", _join),
+        ("pricing_summary", _agg),
     ]
 
 
@@ -1009,6 +1020,29 @@ def main() -> int:
                     file=sys.stderr,
                 )
             spark.catalog.clearCache()
+            # second relational arm (round 8, the tenth family): the
+            # groupBy-heavy shape (TPC-H Q1 pricing summary) over the
+            # SAME ×N facts. It disambiguates the join family's cost
+            # model: Q1's only exchange is the O(groups)=8-row final
+            # aggregate — constant as facts grow — so if the join arm's
+            # second decade grows faster than this arm's, the growth is
+            # attributable to the join's fact-fact shuffle volume
+            # specifically, not to "any wide plan at this data volume".
+            pq = qs["pricing_summary"]
+            try:
+                scaling["pricing_summary"] = {
+                    **_scale_row(
+                        lambda: _run_noop(pq.build(spark, SF_DIR)),
+                        lambda: _run_noop(pq.build(spark, rel10)),
+                    ),
+                    "corpus": "facts x10 (scan+partial-agg; shuffle O(groups))",
+                }
+            except Exception as exc:
+                print(
+                    f"scaling bench pricing_summary failed: {exc}",
+                    file=sys.stderr,
+                )
+            spark.catalog.clearCache()
     # --- second-decade (100×) points: every measured family gets one —
     # driver-side and skew effects surface in the second decade, not the
     # first. ROUND-8 PROTOCOL (see _x100_row for the full rationale and
@@ -1109,14 +1143,15 @@ def main() -> int:
     # With nine scaling families the full scaling dict alone is ~1.5 KB
     # and crowded the ENTIRE per-query map out of round-7's first run
     # (queries_omitted=131, parity numbers lost) — so the line carries
-    # only each family's load-bearing numbers (points + slopes);
-    # sec_x10_cold and the protocol annotations stay in
+    # only each family's load-bearing numbers: the two slopes and their
+    # in-session denominators. The absolute points are exactly
+    # derivable (sec_x10 = slope_vs_linear · 10 · sec_x1; sec_x100 =
+    # slope_x100_vs_linear · 100 · sec_x1_x100ses) and live untrimmed —
+    # with sec_x10_cold, load snapshots, and protocol annotations — in
     # bench_runs/latest_full.json, which is committed per round.
     _LINE_SCALE_KEYS = (
         "sec_x1",
-        "sec_x10",
         "sec_x1_x100ses",
-        "sec_x100",
         "slope_vs_linear",
         "slope_x100_vs_linear",
     )
