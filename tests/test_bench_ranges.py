@@ -133,6 +133,31 @@ def test_all_driver_bench_artifacts_inside_quoted_ranges():
     assert not errors, "\n".join(errors)
 
 
+def test_x100_spec_families_match_banded_families():
+    """Every family carrying a 100x band must have a per-family fresh-JVM
+    spec in bench._x100_specs and vice versa — a family added to one
+    side without the other either goes unmeasured or unchecked."""
+    import bench
+
+    spec_names = [n for n, _ in bench._x100_specs({})]
+    banded = [
+        f
+        for f, fs in _ranges()["families"].items()
+        if "slope_x100_vs_linear" in fs
+    ]
+    assert sorted(spec_names) == sorted(banded)
+
+
+def test_load_snapshot_shape():
+    """The per-point load telemetry (round 8) must carry the fields the
+    outlier-annotation rule cites."""
+    import bench
+
+    snap = bench._load_snapshot()
+    assert {"load1", "load5", "runq", "procs"} <= set(snap)
+    assert snap["procs"] > 0 and snap["load1"] >= 0.0
+
+
 def test_ranges_file_is_well_formed():
     spec = _ranges()
     for fam, fspec in spec["families"].items():
