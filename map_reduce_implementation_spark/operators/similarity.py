@@ -308,10 +308,17 @@ def ivf_assign(
       same shape ``semantic_dedup`` already uses and the way every
       production IVF build assigns (BLAS, train-once-assign-many).
 
-    The two paths agree except where two centroids are numerically
-    equidistant from a vector (different float summation order); the
-    graded queries pin the literal path, the scaling arms measure the
-    gemm path. Pass ``gemm_threshold=0`` to force gemm regardless of k.
+    The two paths agree except in two documented corners: (a) two
+    centroids numerically equidistant from a vector (different float
+    summation order picks different winners); (b) a vector carrying a
+    genuine **NaN value** (not a SQL null) — the gemm path nulls the
+    cell (after Arrow a NaN-valued row is indistinguishable from a
+    null-element row), while the literal path's all-NaN distance array
+    makes ``array_min`` return NaN and ``array_position`` match it
+    (Spark treats NaN as equal to NaN), yielding cell 0. Null and
+    null-element vectors agree on both paths (null cell). The graded
+    queries pin the literal path, the scaling arms measure the gemm
+    path. Pass ``gemm_threshold=0`` to force gemm regardless of k.
     Returns the input plus a ``cell`` column.
     """
     if len(centroids) <= gemm_threshold:

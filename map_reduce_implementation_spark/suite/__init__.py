@@ -377,6 +377,13 @@ def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     oldest-checked-first so every verdict stays fresh. Green = a
     value-hash match, or a rows-only pass for oracle-less entries.
     Falls back to the static order when no correctness files are readable.
+
+    Historical names that were since renamed out of the registry can
+    linger in these sets (one exists: ``multimodal_decode``, the pre-r05
+    name of the codec stub whose successor queries are hash-green) —
+    the rotation below keys on CURRENT registry names only, so such
+    ghosts are inert; anyone recounting greens against the registry
+    should expect len(green) ≥ len(registry ∩ green).
     """
     import glob
     import json

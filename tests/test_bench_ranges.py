@@ -150,10 +150,18 @@ def test_x100_spec_families_match_banded_families():
 
 def test_load_snapshot_shape():
     """The per-point load telemetry (round 8) must carry the fields the
-    outlier-annotation rule cites."""
+    outlier-annotation rule cites. On hosts without procfs (macOS /
+    Windows) bench._load_snapshot deliberately degrades to {} — assert
+    that contract instead of hard-failing where the production code is
+    portable by design."""
+    import os
+
     import bench
 
     snap = bench._load_snapshot()
+    if not os.path.exists("/proc/loadavg"):
+        assert snap == {}
+        return
     assert {"load1", "load5", "runq", "procs"} <= set(snap)
     assert snap["procs"] > 0 and snap["load1"] >= 0.0
 

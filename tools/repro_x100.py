@@ -28,29 +28,22 @@ import bench  # noqa: E402  (reuses corpora builders + timing helpers)
 from map_reduce_implementation_spark.session import get_spark  # noqa: E402
 
 
-def _load_snapshot() -> dict:
-    """One-line machine-load record (VERDICT r07 item #3): loadavg plus
-    total process count, taken immediately before a measurement so an
-    out-of-band reading can cite measured session crowding instead of
-    asserting it."""
-    out: dict = {}
-    try:
-        with open("/proc/loadavg") as fh:
-            parts = fh.read().split()
-        out = {
-            "load1": float(parts[0]),
-            "load5": float(parts[1]),
-            "runq": parts[3],
-            "procs": sum(1 for d in os.listdir("/proc") if d.isdigit()),
-        }
-    except OSError:
-        pass
-    return out
+# One-line machine-load record (VERDICT r07 item #3) — reuse bench's
+# snapshot instead of keeping a drift-prone duplicate (ADVICE r08: the
+# copy here caught only OSError while bench's catches the full
+# (OSError, ValueError, IndexError) tuple a malformed /proc read needs).
+_load_snapshot = bench._load_snapshot
 
 
 def _stages(spark) -> dict[int, dict]:
+    """Completed-stage metrics from the Spark UI REST API. The UI URL is
+    taken from the live context (uiWebUrl), not a hardcoded :4040 — a
+    concurrent Spark app pushes the UI to 4041+ (ADVICE r08)."""
     app_id = spark.sparkContext.applicationId
-    url = f"http://localhost:4040/api/v1/applications/{app_id}/stages?status=complete"
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        raise RuntimeError("Spark UI disabled; no stage metrics available")
+    url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
     with urllib.request.urlopen(url, timeout=10) as resp:
         data = json.load(resp)
     return {s["stageId"]: s for s in data}
@@ -121,31 +114,37 @@ def repro_join() -> dict:
             round(row["sec_x100"] / (100 * 0.48), 4),
             round(row["sec_x100"] / (100 * 0.2908), 4),
         ]
-        # stage breakdown of ONE x100 run (cost model, VERDICT item #2)
-        before = _stages(spark)
-        t0 = time.perf_counter()
-        bench._run_noop(rq.build(spark, rel100))
-        wall = time.perf_counter() - t0
-        after = _stages(spark)
-        new = [s for sid, s in sorted(after.items()) if sid not in before]
-        row["x100_profile"] = {
-            "wall_sec": round(wall, 3),
-            "stages": [
-                {
-                    "stageId": s["stageId"],
-                    "name": s["name"].split("\n")[0][:80],
-                    "tasks": s.get("numCompleteTasks"),
-                    "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
-                    "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
-                    "shuffle_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
-                    "mem_spill_mb": round(s.get("memoryBytesSpilled", 0) / 1e6, 1),
-                    "disk_spill_mb": round(s.get("diskBytesSpilled", 0) / 1e6, 1),
-                    "executor_run_sec": round(s.get("executorRunTime", 0) / 1e3, 2),
-                    "gc_sec": round(s.get("jvmGcTime", 0) / 1e3, 2),
-                }
-                for s in new
-            ],
-        }
+        # stage breakdown of ONE x100 run (cost model, VERDICT item #2).
+        # A UI failure (disabled, port moved, API change) degrades to a
+        # record without x100_profile instead of losing the whole run's
+        # already-gathered timings (ADVICE r08).
+        try:
+            before = _stages(spark)
+            t0 = time.perf_counter()
+            bench._run_noop(rq.build(spark, rel100))
+            wall = time.perf_counter() - t0
+            after = _stages(spark)
+            new = [s for sid, s in sorted(after.items()) if sid not in before]
+            row["x100_profile"] = {
+                "wall_sec": round(wall, 3),
+                "stages": [
+                    {
+                        "stageId": s["stageId"],
+                        "name": s["name"].split("\n")[0][:80],
+                        "tasks": s.get("numCompleteTasks"),
+                        "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+                        "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                        "shuffle_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+                        "mem_spill_mb": round(s.get("memoryBytesSpilled", 0) / 1e6, 1),
+                        "disk_spill_mb": round(s.get("diskBytesSpilled", 0) / 1e6, 1),
+                        "executor_run_sec": round(s.get("executorRunTime", 0) / 1e3, 2),
+                        "gc_sec": round(s.get("jvmGcTime", 0) / 1e3, 2),
+                    }
+                    for s in new
+                ],
+            }
+        except Exception as exc:  # noqa: BLE001 — telemetry is best-effort
+            row["x100_profile_error"] = str(exc)
         return row
     finally:
         spark.stop()
