@@ -716,6 +716,98 @@ def _ensure_rel_xn(spark, copies: int, dirname: str) -> str | None:
     return out_dir
 
 
+def _ensure_skew_xn(spark, copies: int, dirname: str) -> str | None:
+    """``copies``× SKEWED lineitem for the hot-key join family (round 9 —
+    the eleventh family; the only scale-killer class that had code but
+    no measured evidence: VERDICT r08 'What's missing' #2). In every
+    copy ~25% of rows (deterministic hash selector) have l_orderkey
+    remapped to the ONE global hot key 0, so the hot key owns ~25% of
+    the whole fact table at every scale — the classic hot-customer
+    shape where a plain shuffle join sends a quarter of the data to a
+    single reducer task. Non-hot keys keep the shared 10M-per-copy
+    stride, aligned with _ensure_rel_xn's orders copies, so the 10×
+    point joins against rel_x10's orders and the 1× point against
+    SF_DIR's. Fact pruned to the 4 join-relevant columns (the family
+    prices row DISTRIBUTION, not scan width — the rel families already
+    price full-width shuffles)."""
+    from pyspark.sql import functions as F
+
+    return _ensure_xn(
+        spark,
+        copies,
+        dirname,
+        "lineitem.parquet",
+        "l_orderkey",
+        lambda s: s.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+        ),
+        mutate=lambda df, i: df.withColumn(
+            "l_orderkey",
+            F.when(
+                F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(4)) == 0,
+                F.lit(0).cast("bigint"),
+            ).otherwise(F.col("l_orderkey")),
+        ),
+    )
+
+
+def _skew_join_df(spark, li_dir: str, orders_dir: str):
+    """Salted fact-fact join over the hot-key corpus (operators/skew.py,
+    the hash-green ``salted_join`` at its registry default n_salts=8):
+    the hot key's 25% of rows spread over 8 (key, salt) reducer slots
+    instead of one. The priced trade-off is the dim-side explode (the
+    orders shuffle grows 8×) — the cost a production salt pays to kill
+    the straggler; tools/skew_probe.py measures the straggler itself
+    (plain-join max-task-time vs salted) for the README paragraph."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_implementation_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(os.path.join(li_dir, "lineitem.parquet")).select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = spark.read.parquet(
+        os.path.join(orders_dir, "orders.parquet")
+    ).select(F.col("o_orderkey").alias("okey"), "o_custkey", "o_orderdate")
+    return salted_join(li, orders, "okey", n_salts=8)
+
+
+class _no_auto_broadcast:
+    """Context manager: disable static + adaptive auto-broadcast so the
+    skew family measures the BOTH-SIDES-LARGE regime at bench scale.
+    At 100 TB neither side of the hot-key join fits in a broadcast (the
+    regime where skew actually bites — a broadcast join is immune to
+    key skew by construction, and the engine does broadcast when it
+    can: the other relational families price that shape). At sf0.1 the
+    1× orders side is broadcast-eligible, which would put the two
+    scale points in different physical regimes; pinning both to the
+    shuffle join keeps the slope one-regime, same reasoning as the
+    retrieval arm forcing gemm at every point."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        c = self.spark.conf
+        self.prev = c.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            self.prev_aqe = c.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        except Exception:
+            self.prev_aqe = None
+        c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        return self
+
+    def __exit__(self, *exc):
+        c = self.spark.conf
+        c.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
+        if self.prev_aqe is None:
+            c.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", self.prev_aqe)
+        return False
+
+
 def _time(fn, warmup: bool = True, runs: int = 3) -> float:
     """Best-of-N after a warm-up — the same protocol BASELINE.md used to
     measure the reference (best of 3, warm cache)."""
@@ -1043,6 +1135,35 @@ def main() -> int:
                     file=sys.stderr,
                 )
             spark.catalog.clearCache()
+            # skewed-key family (round 9, the eleventh): salted_join
+            # over a corpus where ONE hot key owns ~25% of facts at
+            # every scale — the only scale-killer class that had a
+            # hash-green operator but no measured slope. Auto-broadcast
+            # off for both points (both-sides-large regime — see
+            # _no_auto_broadcast); the straggler-vs-salt evidence
+            # itself lives in tools/skew_probe.py + README.
+            skew1 = _ensure_skew_xn(spark, 1, "skew_x1")
+            skew10 = _ensure_skew_xn(spark, 10, "skew_x10")
+            if skew1 and skew10:
+                try:
+                    with _no_auto_broadcast(spark):
+                        scaling["skew_salted_join"] = {
+                            **_scale_row(
+                                lambda: _run_noop(
+                                    _skew_join_df(spark, skew1, SF_DIR)
+                                ),
+                                lambda: _run_noop(
+                                    _skew_join_df(spark, skew10, rel10)
+                                ),
+                            ),
+                            "corpus": "hot key ~25% of facts; auto-broadcast off",
+                        }
+                except Exception as exc:
+                    print(
+                        f"scaling bench skew_salted_join failed: {exc}",
+                        file=sys.stderr,
+                    )
+                spark.catalog.clearCache()
     # --- second-decade (100×) points: every measured family gets one —
     # driver-side and skew effects surface in the second decade, not the
     # first. ROUND-8 PROTOCOL (see _x100_row for the full rationale and
