@@ -90,7 +90,10 @@ def _check(tag: str, rec: dict, spec: dict, errors: list[str], *,
             if not (lo <= v <= hi) and (tag, fam) not in outliers:
                 errors.append(f"{tag}: {fam}.{metric}={v} outside [{lo}, {hi}]")
     queries = rec.get("queries") or {}
-    for q, (lo, hi) in spec.get("parity_queries", {}).items():
+    for q, bounds in spec.get("parity_queries", {}).items():
+        if q.startswith("_"):
+            continue
+        lo, hi = bounds
         if q in queries and (tag, q) not in outliers:
             v = queries[q]
             if isinstance(v, (int, float)) and v == v and not (lo <= v <= hi):

@@ -152,12 +152,19 @@ def repro_join() -> dict:
 
 def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
-    rec: dict = {"load_at_start": _load_snapshot()}
+    # optional tag suffixes the record filename (e.g. `join 4g` →
+    # repro_x100_join_4g.json) so a constrained-heap spill-regime run
+    # doesn't overwrite the canonical quiet-session record
+    tag = f"_{sys.argv[2]}" if len(sys.argv) > 2 else ""
+    rec: dict = {
+        "load_at_start": _load_snapshot(),
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM"),
+    }
     if which in ("semantic", "both"):
         rec["dedup_semantic"] = repro_semantic()
     if which in ("join", "both"):
         rec["join_region_revenue"] = repro_join()
-    out = os.path.join(REPO, "bench_runs", f"repro_x100_{which}.json")
+    out = os.path.join(REPO, "bench_runs", f"repro_x100_{which}{tag}.json")
     with open(out, "w") as fh:
         json.dump(rec, fh, indent=1)
     print(json.dumps(rec, indent=1))
