@@ -913,6 +913,31 @@ def _x100_specs(qs) -> list:
             lambda: _run_noop(pq.build(spark, rel100)),
         )
 
+    def _skew(spark):
+        """Second decade for the skewed-key family (round 9): does a
+        FIXED salt count still flatten the hot key when the hot
+        partition grows 100×? n_salts=8 spreads the hot key's 25% of
+        facts over 8 reducer slots whose size grows linearly with the
+        corpus while the median partition is pinned by partition count
+        — the exact regime where a production job must re-tune salts,
+        so the measured slope is the evidence for whether 8 is still
+        enough two decades in. Same corpus convention as the 10× arm
+        (hot key owns ~25% at every scale; ×100 facts join rel_x100's
+        ×100 orders). The family's whole fresh session is pinned to the
+        both-sides-large regime (the _no_auto_broadcast reasoning); the
+        session is stopped right after the row, so nothing to restore."""
+        skew1 = _ensure_skew_xn(spark, 1, "skew_x1")
+        skew100 = _ensure_skew_xn(spark, 100, "skew_x100")
+        rel100 = _ensure_rel_xn(spark, 100, "rel_x100")
+        if not (skew1 and skew100 and rel100):
+            return None
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        return (
+            lambda: _run_noop(_skew_join_df(spark, skew1, SF_DIR)),
+            lambda: _run_noop(_skew_join_df(spark, skew100, rel100)),
+        )
+
     return [
         ("dedup_ngram_jaccard_capped", _shared("dedup_ngram_jaccard_capped")),
         ("dedup_line_level", _shared("dedup_line_level")),
@@ -924,6 +949,7 @@ def _x100_specs(qs) -> list:
         ("similarity_two_stage_retrieval", _retrieval),
         ("join_region_revenue", _join),
         ("pricing_summary", _agg),
+        ("skew_salted_join", _skew),
     ]
 
 
