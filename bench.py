@@ -931,6 +931,10 @@ def _x100_specs(qs) -> list:
         rel100 = _ensure_rel_xn(spark, 100, "rel_x100")
         if not (skew1 and skew100 and rel100):
             return None
+        # No restore on purpose: the x100 loop gives every family its
+        # own fresh JVM and stops it right after the row (see the
+        # docstring above and the loop in main()). If that invariant
+        # ever changes, wrap this in _no_auto_broadcast instead.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         return (

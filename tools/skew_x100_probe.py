@@ -67,9 +67,19 @@ def main() -> int:
         rec["x100_big_stages"] = big[:6]
     except Exception as exc:  # UI capture is best-effort, like repro_x100
         rec["x100_profile_error"] = str(exc)
+    # Append, don't overwrite (ADVICE r09): the round-9 sizing probes
+    # overwrote this fixed path, so only the final 0.145 record kept
+    # committed provenance out of the cited 0.145-0.159 pair. Legacy
+    # single-record files are folded into the list on first append.
     out = os.path.join(REPO, "bench_runs", "skew_x100_probe.json")
+    doc: dict = {"probes": []}
+    if os.path.exists(out):
+        with open(out) as fh:
+            prev = json.load(fh)
+        doc = prev if "probes" in prev else {"probes": [prev]}
+    doc["probes"].append(rec)
     with open(out, "w") as fh:
-        json.dump(rec, fh, indent=1)
+        json.dump(doc, fh, indent=1)
     print(json.dumps(rec["row"], indent=1))
     print("wrote", out)
     spark.stop()
