@@ -139,7 +139,15 @@ def main() -> int:
     import __spark_entry__ as e
     from map_reduce_implementation_spark.session import get_spark
 
-    spark = get_spark(app_name="check_values", master="local[8]", shuffle_partitions=16)
+    # CHECK_MASTER / CHECK_SP override the smoke defaults so the
+    # cross-parallelism pass (local[32], shuffle_partitions=64 — the
+    # CHECKVALUES_r{N} "sf0.01-sp64" key) runs this same file instead
+    # of a hand-edited copy.
+    spark = get_spark(
+        app_name="check_values",
+        master=os.environ.get("CHECK_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("CHECK_SP", "16")),
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
