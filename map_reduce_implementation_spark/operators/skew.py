@@ -30,6 +30,18 @@ def salted_join(
     Result is column-identical to ``fact.join(dim, key, how)`` (verified
     in tests). Supports inner and left joins (the dim explode preserves
     left rows).
+
+    Sizing ``n_salts``: pick roughly the number of executor slots you
+    want the hottest key spread over — NOT a function of the hot
+    fraction. Flatness buys linearly with n while the dim-explode toll
+    (dim shuffled n×) also costs linearly, so past the point where the
+    hot key's per-slot share matches the median partition, extra salts
+    only pay explode. Measured on the bench hot-key corpora
+    (``bench_runs/skew_probe.json`` hot=25%,
+    ``bench_runs/skew_hot50_probe.json`` hot=50%): at 32 local slots
+    n8 wins wall time at BOTH hot fractions; n16 halves the residual
+    max/p50 imbalance (2.7x -> 1.5x) but its doubled explode already
+    costs more than the flatness returns.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
