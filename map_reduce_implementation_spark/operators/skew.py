@@ -36,12 +36,15 @@ def salted_join(
     fraction. Flatness buys linearly with n while the dim-explode toll
     (dim shuffled n×) also costs linearly, so past the point where the
     hot key's per-slot share matches the median partition, extra salts
-    only pay explode. Measured on the bench hot-key corpora
-    (``bench_runs/skew_probe.json`` hot=25%,
-    ``bench_runs/skew_hot50_probe.json`` hot=50%): at 32 local slots
-    n8 wins wall time at BOTH hot fractions; n16 halves the residual
-    max/p50 imbalance (2.7x -> 1.5x) but its doubled explode already
-    costs more than the flatness returns.
+    only pay explode. Measured on the bench hot-key corpora at 32 local
+    slots: n8 beats the AQE-off plain join at both measured hot
+    fractions (``bench_runs/skew_probe.json`` hot=25%,
+    ``bench_runs/skew_hot50_probe.json`` hot=50%); at hot=25% AQE's own
+    skew split beats salting outright (1.096 s vs 1.429 s — prefer AQE
+    when it applies), and the n8-vs-n16 trade is measured at hot=50%
+    only, where n16 halves the residual max/p50 imbalance
+    (2.7x -> 1.5x) but its doubled explode already costs more than the
+    flatness returns.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")

@@ -223,7 +223,16 @@ def main() -> int:
                     existing = _json.load(fh)
             except (OSError, ValueError):
                 existing = {}
+        # Key is self-describing: when CHECK_MASTER/CHECK_SP override the
+        # smoke defaults, append "-sp{N}" so a cross-parallelism pass run
+        # against the plain sf dir can't silently merge into the default
+        # key (ADVICE r10). A dir already named "...-sp{N}" (the old
+        # symlink convention) is left as-is.
         sf_key = os.path.basename(sf.rstrip("/"))
+        overridden = "CHECK_MASTER" in os.environ or "CHECK_SP" in os.environ
+        sp = int(os.environ.get("CHECK_SP", "16"))
+        if overridden and f"-sp{sp}" not in sf_key:
+            sf_key = f"{sf_key}-sp{sp}"
         merged = existing.get(sf_key, {})
         merged.update(verdicts)
         existing[sf_key] = dict(sorted(merged.items()))
@@ -231,6 +240,11 @@ def main() -> int:
             v: sum(1 for x in existing[sf_key].values() if x == v)
             for v in ("exact", "tol", "rows_only", "failed")
         }
+        if overridden:
+            existing[sf_key + "_env"] = {
+                "master": os.environ.get("CHECK_MASTER", "local[8]"),
+                "shuffle_partitions": sp,
+            }
         with open(json_path, "w") as fh:
             _json.dump(existing, fh, indent=1)
         print(f"wrote {json_path} [{sf_key}]")

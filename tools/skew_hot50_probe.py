@@ -96,29 +96,40 @@ def main() -> int:
         print("corpora unavailable", file=sys.stderr)
         return 1
     c = spark.conf
-    with bench._no_auto_broadcast(spark):
-        c.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        rec["plain_skew_off"] = _measure(
-            spark, lambda: bench._run_noop(_plain_join_df(spark, skew50, rel10))
-        )
-        rec["salted_n8"] = _measure(
-            spark, lambda: bench._run_noop(_salted_df(spark, skew50, rel10, 8))
-        )
-        rec["salted_n16"] = _measure(
-            spark, lambda: bench._run_noop(_salted_df(spark, skew50, rel10, 16))
-        )
-        c.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    doc: dict = {"probes": []}
-    if os.path.exists(OUT):
-        with open(OUT) as fh:
-            doc = json.load(fh)
-    doc.setdefault("probes", []).append(rec)
-    with open(OUT, "w") as fh:
-        json.dump(doc, fh, indent=1)
-    for k in ("plain_skew_off", "salted_n8", "salted_n16"):
-        print(k, rec[k]["wall_sec"], rec[k]["wall_samples"])
-    print("wrote", OUT)
-    spark.stop()
+    try:
+        with bench._no_auto_broadcast(spark):
+            c.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            try:
+                rec["plain_skew_off"] = _measure(
+                    spark,
+                    lambda: bench._run_noop(_plain_join_df(spark, skew50, rel10)),
+                )
+                rec["salted_n8"] = _measure(
+                    spark, lambda: bench._run_noop(_salted_df(spark, skew50, rel10, 8))
+                )
+                rec["salted_n16"] = _measure(
+                    spark, lambda: bench._run_noop(_salted_df(spark, skew50, rel10, 16))
+                )
+            finally:
+                c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        doc: dict = {"probes": []}
+        if os.path.exists(OUT):
+            with open(OUT) as fh:
+                loaded = json.load(fh)
+            # legacy single-record fold guard (mirrors skew_x100_probe.py):
+            # an old flat record becomes probes[0] instead of being dropped.
+            if isinstance(loaded, dict) and "probes" in loaded:
+                doc = loaded
+            elif isinstance(loaded, dict):
+                doc = {"probes": [loaded]}
+        doc.setdefault("probes", []).append(rec)
+        with open(OUT, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        for k in ("plain_skew_off", "salted_n8", "salted_n16"):
+            print(k, rec[k]["wall_sec"], rec[k]["wall_samples"])
+        print("wrote", OUT)
+    finally:
+        spark.stop()
     return 0
 
 
