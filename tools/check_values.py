@@ -231,7 +231,7 @@ def main() -> int:
         sf_key = os.path.basename(sf.rstrip("/"))
         overridden = "CHECK_MASTER" in os.environ or "CHECK_SP" in os.environ
         sp = int(os.environ.get("CHECK_SP", "16"))
-        if overridden and f"-sp{sp}" not in sf_key:
+        if overridden and not sf_key.endswith(f"-sp{sp}"):
             sf_key = f"{sf_key}-sp{sp}"
         merged = existing.get(sf_key, {})
         merged.update(verdicts)

@@ -28,7 +28,9 @@ distinct content, which is what the isometric shards model.
 Protocol: bench._x100_row verbatim (fresh right-after-startup session
 per family, warm both sides, 3 interleaved 1x/Nx adjacent pairs, min
 over each side, per-point load snapshot) — only the slope divisor
-changes (1000, recomputed here from the row's raw seconds). k and
+changes (1000, recomputed here from the row's 4-decimal-rounded
+seconds as _x100_row reports them; the ~1e-4 relative rounding
+effect is negligible at slope magnitudes of 0.05–0.10). k and
 cells scale with the corpus exactly as the banded arms do (fixed
 target cell size, SemDeDup's own protocol): k = cells = 8000 at
 x1000. Quantizer centroids (800 distinct-direction rows per shard —
@@ -206,9 +208,15 @@ def main() -> int:
             cents = _x1000_centroids(spark, K_X1000)
             row = bench._x100_row(*mk(spark, cents))
             # _x100_row's slope divisor is 100; the third decade is 1000.
+            # Rename EVERY x100-suffixed key, not just sec_x100 —
+            # leaving sec_x1_x100ses/load_x100 beside sec_x1000 misled
+            # downstream readers of x1000_probe.json (ADVICE r11).
             row["sec_x1000"] = row.pop("sec_x100")
+            row["sec_x1_x1000ses"] = row.pop("sec_x1_x100ses")
+            if "load_x100" in row:
+                row["load_x1000"] = row.pop("load_x100")
             row["slope_x1000_vs_linear"] = round(
-                row["sec_x1000"] / (1000 * row["sec_x1_x100ses"]), 4
+                row["sec_x1000"] / (1000 * row["sec_x1_x1000ses"]), 4
             )
             del row["slope_x100_vs_linear"]
             rec["families"][fam] = row
