@@ -290,19 +290,33 @@ def connected_components(
     converged = False
     changed = -1  # sentinel: max_iter <= 0 must not NameError in the warning
     for _ in range(max_iter):
+        # Convergence check FUSED into the propagation aggregate
+        # (round 12, guide §2.4 "remove shuffles outright"): the self
+        # row is tagged before the union so the same min-aggregate
+        # that computes the new label also carries the old one —
+        # the former new⋈old convergence join (one extra node-keyed
+        # shuffle + join per round) becomes a shuffle-free filter+count
+        # over the already-checkpointed round result. Labels are
+        # IDENTICAL: new label = min over the same (self ∪ neighbor)
+        # multiset; ``old`` is the self row's label (node is unique in
+        # ``labels`` by construction — groupBy(node) output).
+        label_t = labels.schema["label"].dataType.simpleString()
         neigh = sym.join(labels, sym["b"] == labels["node"]).select(
-            F.col("a").alias("node"), "label"
+            F.col("a").alias("node"),
+            "label",
+            F.lit(None).cast(label_t).alias("self_l"),
         )
         new_labels = (
-            labels.unionByName(neigh).groupBy("node").agg(F.min("label").alias("label"))
+            labels.select("node", "label", F.col("label").alias("self_l"))
+            .unionByName(neigh)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.max("self_l").alias("old_label"),
+            )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break

@@ -111,6 +111,13 @@ def q_corpus_jsd_sources(spark: SparkSession, sf: str) -> DataFrame:
             "term",
             (F.coalesce(F.col("n_sc"), F.lit(0)) / F.col("n_s")).alias("p"),
         )
+        # Round-12 optimization (guide §2.4): the |sources|·(K+1)-row
+        # grid feeds BOTH sides of the pair self-join — lazily its
+        # whole counts→totals→grid subtree (3 shuffles over the
+        # checkpointed st) was replayed per side (16 exchanges / 24
+        # scans at sf0.01). Materialized, the self-join reads a tiny
+        # in-memory frame twice: 8 exchanges.
+        .localCheckpoint(eager=True)
     )
     a, b = grid.alias("a"), grid.alias("b")
     pairs = a.join(

@@ -250,12 +250,15 @@ def q_graph_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
         expanded = edges.join(
             frontier, edges["src"] == frontier["node"]
         ).select(F.col("dst").alias("node"), F.lit(k).alias("hops"))
-        dist = (
-            dist.unionAll(expanded)
-            .groupBy("node")
-            .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
+        dist = dist.unionAll(expanded).groupBy("node").agg(
+            F.min("hops").alias("hops")
         )
+        # checkpoint only while the frame will be referenced twice
+        # (next round's frontier + union); the final round's result is
+        # consumed exactly once by the closing aggregate, so its eager
+        # checkpoint job was pure overhead (round 12, guide §1.2)
+        if k < _BFS_HOPS:
+            dist = dist.localCheckpoint(eager=True)
     return dist.groupBy("hops").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("min_node"),

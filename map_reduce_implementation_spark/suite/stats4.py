@@ -63,8 +63,15 @@ def q_text_conditional_entropy(spark: SparkSession, sf: str) -> DataFrame:
     pairs = d.select(
         "lang", F.explode(pair_structs).alias("b")
     ).select("lang", "b.prev", "b.cur")
-    cells = pairs.groupBy("lang", "prev", "cur").agg(
-        F.count(F.lit(1)).alias("c")
+    # Round-12 optimization (guide §2.4): ``cells`` feeds three
+    # consumers (ctx, tot, joint) — lazily the corpus tokenization +
+    # (lang, prev, cur) aggregate was replayed per consumer (10 scans /
+    # 11 exchanges at sf0.01; three corpus passes at 100 TB).
+    # Materialized once, every later step is bigram-vocabulary-sized.
+    cells = (
+        pairs.groupBy("lang", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     ctx = cells.groupBy("lang", "prev").agg(F.sum("c").alias("cx"))
     tot = cells.groupBy("lang").agg(F.sum("c").alias("nb"))
@@ -222,9 +229,21 @@ def q_graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     closed-form double with a zero-variance CASE guard. Plan: degree
     aggregate, two degree joins back onto the edge list (node-keyed
     shuffles — the deg frame is node-sized, never collected), one
-    global aggregate."""
-    edges = _trade_edges(spark, sf)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    global aggregate.
+
+    Round-12 optimization (guide §2.4): the edge list is materialized
+    ONCE (localCheckpoint) and so is the degree frame. Lazily, the
+    lineitem⋈orders+distinct edge build was replayed for every one of
+    its four plan references (edge list + three deg uses: 32 parquet
+    scans / 48 exchanges at sf0.01) — at 100 TB that is eight fact
+    scans for one statistic. Materialized: 2 scans, and the degree
+    joins run against a node-sized frame (the BFS/CC precedent)."""
+    edges = _trade_edges(spark, sf).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     dj = (
         edges.join(deg.withColumnRenamed("src", "s_"), F.col("src") == F.col("s_"))
         .select("src", "dst", F.col("deg").alias("j"))
