@@ -217,7 +217,18 @@ def jaccard_pairs(
     inputs from producing self-pairs (repeated ids in a posting list
     can still inflate a true pair's intersection — distinct input
     remains the contract for exact scores)."""
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    # Round-12 optimization (guide §2.4): the shingle stream feeds two
+    # aggregates (sizes, posts) and the size frame feeds both join
+    # sides — lazily every one of the seven suite callers re-tokenized
+    # the corpus per consumer (2× corpus scans) and re-ran the size
+    # aggregate per join side. Materialize each ONCE; at 100 TB these
+    # are the passes a cluster job would persist.
+    shingles = shingles.localCheckpoint(eager=True)
+    sizes = (
+        shingles.groupBy(id_col)
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     posts = shingles.groupBy(shingle_col).agg(
         F.collect_list(id_col).alias("ds")
     )

@@ -39,6 +39,9 @@ over declarative join+agg steps, NOT a driver-side loop over rows.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,7 +73,7 @@ _PR_MEMO_CAP = 4
 
 def pagerank_release(spark) -> None:
     """Unpersist all memoized PageRank edge state for this session."""
-    for _, deg, wedges, _n in _PR_STATE.pop(spark, []):
+    for _, deg, wedges, _n, _p in _PR_STATE.pop(spark, []):
         deg.unpersist()
         wedges.unpersist()
 
@@ -94,7 +97,19 @@ def pagerank(
     when this returns). An empty edge list returns an empty result.
     """
     spark = edges.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    max_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Round-12 (guide §2.3 "make partitioning scale-adaptive"): the
+    # loop's partition count is derived from the measured edge count
+    # (~PR_EDGES_PER_PART edge rows ≈ a few MB per task) instead of
+    # pinning the session's static shuffle.partitions. On the suite's
+    # sf0.1 trade graph that collapses 32 near-empty tasks per
+    # iteration stage to a handful; at cluster scale the edge count
+    # saturates the cap and the behavior is exactly the old one (the
+    # cap IS spark.sql.shuffle.partitions — production raises that
+    # conf, not this constant).
+    edges_per_part = int(
+        os.environ.get("SPARK_GRAFT_PR_EDGES_PER_PART", "262144")
+    )
     # Loop-invariant state from the session memo (see _PR_STATE above).
     # deg is node-sized (one row per vertex) — cached so n_nodes and the
     # rank init read materialized rows instead of re-running the edge
@@ -108,12 +123,17 @@ def pagerank(
             break
     if hit is None:
         deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
-        n_nodes = deg.count()  # one scalar to driver; ranks never collect
+        # two bounded scalars from one job; ranks never collect
+        sizes = deg.agg(
+            F.count(F.lit(1)).alias("nn"), F.sum("outdeg").alias("ne")
+        ).collect()[0]
+        n_nodes = sizes["nn"]
         if n_nodes == 0:
             deg.unpersist()
             return edges.select(
                 F.col("src").alias("node"), F.lit(0.0).alias("pr")
             ).limit(0)
+        nparts = max(1, min(max_parts, math.ceil(sizes["ne"] / edges_per_part)))
         wedges = (
             edges.join(deg, "src")
             .select("src", "dst", "outdeg")
@@ -122,12 +142,12 @@ def pagerank(
             .cache()
         )
         if len(entries) >= _PR_MEMO_CAP:  # LRU eviction, oldest first
-            _, odeg, owedges, _n = entries.pop(0)
+            _, odeg, owedges, _n, _p = entries.pop(0)
             odeg.unpersist()
             owedges.unpersist()
-        hit = (plan, deg, wedges, n_nodes)
+        hit = (plan, deg, wedges, n_nodes, nparts)
     entries.append(hit)
-    _, deg, wedges, n_nodes = hit
+    _, deg, wedges, n_nodes, nparts = hit
     # spark.catalog.clearCache() deregisters cached plans entirely —
     # re-cache on miss so a memo hit after a cache flush still runs the
     # loop against materialized, co-partitioned edges.
@@ -143,7 +163,11 @@ def pagerank(
     # the suite/bench (single-threaded driver); concurrent callers
     # should pass a dedicated session or accept the window.
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    sp_prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # the rank aggregate must land on the SAME partition count as the
+    # size-derived wedges layout or the loop join regrows an exchange
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
     try:
         # node spine with zero contribution, unioned into every
         # iteration's aggregate: a node nobody links to would otherwise
@@ -167,6 +191,7 @@ def pagerank(
         pr = pr.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_prev)
     # deg/wedges stay cached in the session memo (bounded: one entry
     # per distinct edge plan); call pagerank_release(spark) to drop.
     return pr

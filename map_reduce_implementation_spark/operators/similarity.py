@@ -235,6 +235,8 @@ def knn_join(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_cols: tuple = (),
+    corpus_cols: tuple = (),
 ) -> DataFrame:
     """Exact k-NN join: for EVERY query vector, its top-k cosine
     neighbors in the corpus (vs ``cosine_topk``'s single literal query).
@@ -246,19 +248,31 @@ def knn_join(
     with WindowGroupLimit: each map task keeps only k rows per query
     BEFORE the exchange, so the shuffle carries O(|Q|·k·partitions)
     rows, not |Q|×|corpus|. Returns
-    DataFrame[query_id, neighbor_id, sim, knn_rank]."""
+    DataFrame[query_id, neighbor_id, sim, knn_rank].
+
+    ``query_cols`` / ``corpus_cols`` ride extra columns through the
+    score pass as ``q_<name>`` / ``c_<name>`` — callers that need, e.g.,
+    the neighbor's label avoid a second corpus scan + join back onto
+    the (already 100 TB-sized) corpus. The top-k itself is unchanged:
+    the window still orders by (sim DESC, neighbor_id ASC) only."""
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        *[F.col(c).alias(f"q_{c}") for c in query_cols],
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        *[F.col(c).alias(f"c_{c}") for c in corpus_cols],
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("cv"), F.col("qv")), 9).alias("sim"),
+        *[f"q_{c}" for c in query_cols],
+        *[f"c_{c}" for c in corpus_cols],
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")

@@ -93,8 +93,17 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     df == 2 exactly, a much looser bound, while the docstring claimed
     true containment — both sides now compute df <= 20.)"""
     max_df = 20
-    sh = _shingles(spark, sf, 5)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Round-12 optimization (guide §2.4): the shingle stream feeds four
+    # plan references (sizes, df_counts, both self-join sides) and the
+    # size frame two — materialize each once instead of re-tokenizing
+    # the corpus per consumer (12 parquet scans → 0 rescans in the
+    # captured plan; the jaccard_pairs operator got the same fix)
+    sh = _shingles(spark, sf, 5).localCheckpoint(eager=True)
+    sizes = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
     capped = sh.join(
         df_counts.filter(F.col("c") <= max_df).select("shingle"), "shingle"

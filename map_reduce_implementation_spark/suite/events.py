@@ -1009,11 +1009,28 @@ def q_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nt"))
         .localCheckpoint(eager=True)
     )
-    rowsum = cells.groupBy("prev_type").agg(F.sum("nt").alias("row_n"))
-    P = cells.join(rowsum, "prev_type").select(
-        "prev_type",
-        "next_type",
-        (F.col("nt") / F.col("row_n")).alias("prob"),
+    # Round-12 optimization (guide §2.4 + §3.1): rowsum and P are
+    # |types|- and |types|²-row frames referenced by EVERY unrolled
+    # iteration — lazily the rowsum aggregate replayed 6× and the
+    # P join 5× (58 Exchanges in the captured before-plan), and each
+    # tiny iteration join ran as a shuffle pair that AQE had to
+    # re-plan at runtime. Materializing both once and broadcast-
+    # hinting the per-iteration joins statically leaves one exchange
+    # per iteration (the |types|-key flow aggregate). Same cells, same
+    # probabilities, same iteration arithmetic.
+    rowsum = (
+        cells.groupBy("prev_type")
+        .agg(F.sum("nt").alias("row_n"))
+        .localCheckpoint(eager=True)
+    )
+    P = (
+        cells.join(F.broadcast(rowsum), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            (F.col("nt") / F.col("row_n")).alias("prob"),
+        )
+        .localCheckpoint(eager=True)
     )
     states = rowsum.select(F.col("prev_type").alias("state"))
     ns = states.agg(F.count(F.lit(1)).alias("n"))
@@ -1022,12 +1039,12 @@ def q_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
     )
     for _ in range(MK_ITERS):
         flow = (
-            pi.join(P, pi["state"] == P["prev_type"])
+            pi.join(F.broadcast(P), pi["state"] == P["prev_type"])
             .groupBy("next_type")
             .agg(F.sum(F.col("p") * F.col("prob")).alias("s"))
         )
         pi = states.join(
-            flow, states["state"] == flow["next_type"], "left"
+            F.broadcast(flow), states["state"] == flow["next_type"], "left"
         ).select("state", F.coalesce(F.col("s"), F.lit(0.0)).alias("p"))
     return pi.select(
         F.col("state").alias("event_type"),

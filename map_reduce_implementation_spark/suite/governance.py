@@ -249,35 +249,35 @@ def q_embedding_label_noise(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") % NOISE_SAMPLE_MOD == 0)
     corpus = e.filter(F.col("vec_id") % NOISE_SAMPLE_MOD != 0)
-    nn = knn_join(q, corpus, k=NOISE_K)
+    # Round-12 optimization (guide §2.2 "shuffle fewer bytes" / §2.4):
+    # both labels ride through knn_join's single score pass
+    # (query_cols/corpus_cols passthrough) instead of TWO extra
+    # embeddings scans + joins back onto the table (8 scans / 8
+    # exchanges → 2 scans / 3 exchanges at sf0.01). own_label is
+    # functionally dependent on query_id, so adding it to the vote
+    # groupBy changes no group; the former inner joins dropped no rows
+    # (top's query_ids ⊆ q's by construction). Votes, plurality
+    # tie-break, and every output cell are identical.
+    nn = knn_join(
+        q, corpus, k=NOISE_K, query_cols=("label",), corpus_cols=("label",)
+    )
     votes = (
-        nn.join(
-            e.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("label").alias("n_label"),
-            ),
-            "neighbor_id",
-        )
-        .groupBy("query_id", "n_label")
+        nn.withColumnRenamed("c_label", "n_label")
+        .groupBy("query_id", "q_label", "n_label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("n_votes"), F.asc("n_label")
     )
-    top = (
+    return (
         votes.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("query_id", "n_label", "n_votes")
-    )
-    return (
-        q.select(F.col("vec_id").alias("query_id"), "label")
-        .join(top, "query_id")
         .select(
             "query_id",
-            F.col("label").alias("own_label"),
+            F.col("q_label").alias("own_label"),
             F.col("n_label").alias("knn_label"),
             F.col("n_votes").alias("n_agree"),
-            (F.col("n_label") != F.col("label")).alias("suspect"),
+            (F.col("n_label") != F.col("q_label")).alias("suspect"),
         )
     )
 

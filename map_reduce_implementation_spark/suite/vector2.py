@@ -564,24 +564,28 @@ def q_similarity_index_delta(spark: SparkSession, sf: str) -> DataFrame:
         .limit(DELTA_CELLS)
         .collect()
     ]
-    old = (
-        ivf_assign(standing, cents)
+    # Round-12 optimization (guide §2.1): assignment is per-vector
+    # independent and standing ∪ delta = the whole table, so ONE
+    # ivf_assign pass + one aggregate with conditional sums replaces
+    # the two passes + full-outer join (2 embeddings scans + 2 cell
+    # shuffles + 1 join → 1 scan + 1 shuffle). Equivalence: each
+    # vector lands in the same cell either way; the full outer over
+    # (cells with ≥1 standing) / (cells with ≥1 arrival) enumerates
+    # exactly the cells with ≥1 member of either kind — the groupBy's
+    # key set — and the coalesced counts are the conditional sums.
+    # (A duplicate among the first-k centroids still reports its
+    # standing-empty cell when arrivals route there, as before. The
+    # only divergence would be SQL-null cells — impossible here:
+    # ivf_assign nulls a cell only for null/null-element vectors and
+    # the embeddings generator emits none at any SF.)
+    is_new = (F.col("vec_id") % DELTA_MOD == 0).cast("long")
+    j = (
+        ivf_assign(e, cents)
         .groupBy("cell")
-        .agg(F.count("*").alias("n_old"))
-    )
-    new = (
-        ivf_assign(delta, cents)
-        .groupBy("cell")
-        .agg(F.count("*").alias("n_new"))
-    )
-    # FULL outer: a duplicate among the first-k centroids leaves its
-    # cell with zero standing members (every tie resolves to the lower
-    # cell id) — arrivals routed there must still be reported, and the
-    # corpus total must not undercount them
-    j = old.join(new, "cell", "full").select(
-        "cell",
-        F.coalesce("n_old", F.lit(0)).alias("n_old"),
-        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        .agg(
+            (F.count("*") - F.sum(is_new)).alias("n_old"),
+            F.sum(is_new).alias("n_new"),
+        )
     )
     tot = j.agg(
         F.sum(F.col("n_old") + F.col("n_new")).alias("n_total_all")
