@@ -423,11 +423,22 @@ def q_ngram_saturation(spark: SparkSession, sf: str) -> DataFrame:
     grams = d.select(
         batch.alias("batch"), F.explode(pair_structs).alias("b")
     ).select("batch", F.concat_ws(" ", "b.prev", "b.cur").alias("gram"))
-    per_gram = grams.groupBy("gram").agg(
-        F.min("batch").alias("first_batch"), F.count(F.lit(1)).alias("cnt")
+    # Round-12 optimization (guide §2.2/§2.4): ONE (batch, gram) cell
+    # aggregate (map-side combined) is materialized and both model
+    # frames derive from it by exact integer identities
+    # (first_batch = MIN over the gram's batches, instance counts =
+    # Σ cell counts per batch) — one corpus tokenization instead of two,
+    # and the shuffle carries cells, not raw gram instances.
+    cells = (
+        grams.groupBy("batch", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    instance_counts = grams.groupBy("batch").agg(
-        F.count(F.lit(1)).alias("n_instances")
+    per_gram = cells.groupBy("gram").agg(
+        F.min("batch").alias("first_batch"), F.sum("cnt").alias("cnt")
+    )
+    instance_counts = cells.groupBy("batch").agg(
+        F.sum("cnt").alias("n_instances")
     )
     novelty = per_gram.groupBy("first_batch").agg(
         F.count(F.lit(1)).alias("n_new_grams")

@@ -36,7 +36,10 @@ def q_text_novelty_score(spark: SparkSession, sf: str) -> DataFrame:
     total, both on uniform hash keys; no windows over raw data. At
     100 TB the first-owner table is the dedup state a crawler keeps —
     here derived in-plan."""
-    sh = _shingles(spark, sf, 5)
+    # Round-12 optimization (guide §2.4): the shingle stream feeds the
+    # first-owner aggregate AND the join-back — materialize it once
+    # instead of tokenizing the corpus per reference
+    sh = _shingles(spark, sf, 5).localCheckpoint(eager=True)
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(first, "shingle")
@@ -349,10 +352,17 @@ def window_hash_frames(
     from ..functions import tokens
 
     d = table(spark, sf, "documents")
+    # Round-12 optimization (guide §2.4): both consumers reference
+    # ``wins`` twice (global window counts + join-back) and
+    # span_removal additionally reads ``bound`` — lazily that replayed
+    # the corpus tokenize + window-hash build per reference (10 scans
+    # in the before-plan). Materialize each once: one tokenize pass,
+    # one in-memory window build, every downstream branch reads
+    # materialized longs.
     bound = d.select(
         "doc_id",
         F.transform(tokens("text"), lambda t: F.xxhash64(t)).alias("hts"),
-    )
+    ).localCheckpoint(eager=True)
     wins = bound.select(
         "doc_id",
         F.posexplode(
@@ -364,7 +374,7 @@ def window_hash_frames(
                 lambda i: F.xxhash64(F.slice("hts", i, n)),
             )
         ).alias("pos", "whash"),
-    )
+    ).localCheckpoint(eager=True)
     return bound, wins
 
 

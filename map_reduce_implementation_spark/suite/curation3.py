@@ -207,7 +207,15 @@ def q_perplexity_bucket_sample(spark: SparkSession, sf: str) -> DataFrame:
     (rank ≤ k prunes map-side before the shuffle)."""
     from .text import unigram_avg_nll
 
-    nll = unigram_avg_nll(spark, sf).select("doc_id", "avg_nll")
+    # Round-12 optimization (guide §2.4): the per-doc NLL frame feeds
+    # the cut-point aggregate AND the bucketing pass — materialize once
+    # instead of replaying the unigram-LM scoring pipeline per consumer
+    # (8 parquet scans → 0 rescans)
+    nll = (
+        unigram_avg_nll(spark, sf)
+        .select("doc_id", "avg_nll")
+        .localCheckpoint(eager=True)
+    )
     qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     cuts = nll.agg(F.percentile("avg_nll", qs).alias("cq"))
     bucketed = nll.crossJoin(F.broadcast(cuts)).select(

@@ -133,7 +133,13 @@ def q_tokenizer_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.size("t") >= 2)
     out = []
     for rank in range(1, BPE_MERGES + 1):
-        top1 = _pair_top1(t)
+        # Round-12 optimization (guide §2.4): each 1-row winner is
+        # referenced by BOTH the output branch and the next merge's
+        # rewrite, and its lineage carries every earlier merge — the
+        # final 3-branch union replayed the whole pair-count chain per
+        # branch (22 Exchanges). Materializing the single winner row
+        # truncates that: each pair aggregate now runs exactly once.
+        top1 = _pair_top1(t).localCheckpoint(eager=True)
         out.append(
             top1.select(
                 F.lit(rank).alias("merge_rank"),
@@ -495,7 +501,11 @@ def q_tokenizer_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
     merges = []
     t = t_learn
     for rank in range(1, BPE_MERGES + 1):
-        top1 = _pair_top1(t)
+        # materialize each 1-row winner (same round-12 rationale as
+        # tokenizer_bpe_train): it feeds the learn chain AND the apply
+        # chain, and un-truncated its lineage replays every earlier
+        # merge's vocab-wide pair aggregate inside the final plan
+        top1 = _pair_top1(t).localCheckpoint(eager=True)
         merges.append(top1)
         if rank < BPE_MERGES:
             t = _apply_merge(t, top1)

@@ -426,10 +426,18 @@ def q_retention(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events")
     # day stays TIMESTAMP (midnight) — pandas date objects hash as
     # dtype=object and diverge from the oracle's datetime64 canon
+    # Round-12 optimization (guide §2.4): ``acts`` feeds the cohort
+    # aggregate AND the offset join, ``cohort`` feeds the join AND the
+    # size rollup — materialize each once instead of re-scanning and
+    # re-deduping the event stream per consumer (6 scans → 2)
     acts = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("day")
-    ).distinct()
-    cohort = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    ).distinct().localCheckpoint(eager=True)
+    cohort = (
+        acts.groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+        .localCheckpoint(eager=True)
+    )
     joined = acts.join(cohort, "user_id").select(
         "user_id",
         "cohort_day",

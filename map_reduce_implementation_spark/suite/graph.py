@@ -29,7 +29,9 @@ from .base import Query
 _ITERS = 3
 
 
-def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
+def _trade_edges(
+    spark: SparkSession, sf: str, materialize: bool = True
+) -> DataFrame:
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -40,6 +42,15 @@ def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+    if materialize:
+        # Round-12 optimization (guide §2.4): the join+distinct feeds
+        # BOTH union branches — lazily every consumer ran the fact join
+        # twice (graph_degree_stats: 8 parquet scans for one census).
+        # ``materialize=False`` keeps the fully lazy plan for
+        # operators/graph.py::pagerank, whose loop-invariant edge memo
+        # is keyed on plan identity (a fresh checkpoint RDD per build
+        # would defeat it).
+        pairs = pairs.localCheckpoint(eager=True)
     fwd = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     rev = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     return fwd.unionAll(rev)
@@ -51,7 +62,11 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     stays distributed (only N reaches the driver). See
     ``operators/graph.py`` for the 100 TB notes (celebrity-node salting,
     localCheckpoint cadence for long runs)."""
-    pr = pagerank(_trade_edges(spark, sf), iterations=_ITERS, damping=0.85)
+    pr = pagerank(
+        _trade_edges(spark, sf, materialize=False),
+        iterations=_ITERS,
+        damping=0.85,
+    )
     return pr.select(
         F.col("node").alias("node_id"), F.round("pr", 9).alias("pagerank")
     )

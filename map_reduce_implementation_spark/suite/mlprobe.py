@@ -109,18 +109,23 @@ def _train_probe(e: DataFrame, n: float):
         if w_df is None:
             w_df = g.select("pos", (-F.lit(LR) * F.col("s") / F.lit(n)).alias("w"))
         else:
-            w_df = g.join(w_df, "pos").select(
+            w_df = g.join(F.broadcast(w_df), "pos").select(
                 "pos", (F.col("w") - F.lit(LR) * F.col("s") / F.lit(n)).alias("w")
             )
-        # truncate lineage (64 rows): without this, iteration k's
-        # broadcast weight state replays iterations 1..k-1 — an
-        # O(ITERS^2) re-scan of the embeddings (the pagerank cadence)
-        w_df = w_df.localCheckpoint(eager=True)
+        # Truncate lineage at the 1-ROW weight list, not the 64-row
+        # frame (round 12, guide §2.1): the next iteration's broadcast
+        # previously re-ran the collect_list aggregate over the
+        # checkpointed w_df per use — one extra shuffle + job per
+        # iteration. Checkpointing w_row instead and deriving the
+        # (pos, w) frame by posexplode keeps the SAME doubles (the
+        # array is the sort-by-pos of the identical weight rows) while
+        # the per-iteration state is a materialized single row.
         w_row = w_df.agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
             ).alias("wl")
-        )
+        ).localCheckpoint(eager=True)
+        w_df = w_row.select(F.posexplode("wl").alias("pos", "w"))
     return w_df, w_row
 
 

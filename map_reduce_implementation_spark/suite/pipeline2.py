@@ -413,10 +413,20 @@ def q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     shuffles once for its own per-doc term distinct. md5-derived
     positions make the whole sketch DuckDB-reproducible."""
     d = table(spark, sf, "documents")
+    # Round-12 optimization (guide §2.4): the term stream feeds five
+    # plan references (eval side + the train side's probes / exact /
+    # per-doc counts) and the eval term set two — materialize each
+    # once instead of re-tokenizing the corpus per consumer (10 scans
+    # → 0 rescans)
     dt = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
+    ).localCheckpoint(eager=True)
+    ev_terms = (
+        dt.filter(F.col("doc_id") % 10 == 0)
+        .select("term")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    ev_terms = dt.filter(F.col("doc_id") % 10 == 0).select("term").distinct()
     bits = (
         ev_terms.select(
             F.explode(

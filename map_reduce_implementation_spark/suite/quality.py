@@ -72,12 +72,21 @@ def q_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         if dim:
             p = F.broadcast(p)
+        # Round-12 optimization (guide §2.2): pre-aggregate the child
+        # to (key, multiplicity) BEFORE the parent join — the join
+        # shuffle carries distinct child keys instead of every fact
+        # row, and the same exact integer totals fall out of the
+        # multiplicity sums (NULL keys keep their own group and still
+        # never match, so they stay counted as orphans; an empty child
+        # still reports 0 rows via the coalesce, and n_orphans stays
+        # NULL-on-empty exactly as the row-level sum did).
+        ck = c.groupBy("k").agg(F.count(F.lit(1)).alias("cn"))
         parts.append(
-            c.join(p, "k", "left").agg(
+            ck.join(p, "k", "left").agg(
                 F.lit(name).alias("fk_edge"),
-                F.count(F.lit(1)).alias("n_child_rows"),
+                F.coalesce(F.sum("cn"), F.lit(0)).alias("n_child_rows"),
                 F.sum(
-                    F.when(F.col("hit").isNull(), 1).otherwise(0)
+                    F.when(F.col("hit").isNull(), F.col("cn")).otherwise(0)
                 ).alias("n_orphans"),
             )
         )

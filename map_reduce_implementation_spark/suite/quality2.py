@@ -200,10 +200,15 @@ def q_market_concentration_hhi(spark: SparkSession, sf: str) -> DataFrame:
     )
     sup = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     nation = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    # Round-12 optimization (guide §2.4): the supplier-sized revenue
+    # cells feed BOTH the nation rollup and the share join-back —
+    # materialize once instead of replaying the fact join + aggregate
+    # per consumer (10 parquet scans → 2 in the captured plan)
     cells = (
         li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
         .groupBy("s_nationkey", "s_suppkey")
         .agg(F.sum(revenue_expr()).alias("rev_dec"))
+        .localCheckpoint(eager=True)
     )
     nat = cells.groupBy("s_nationkey").agg(
         F.sum("rev_dec").alias("tot_dec"),

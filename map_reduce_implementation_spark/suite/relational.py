@@ -352,10 +352,15 @@ def q_market_basket(spark: SparkSession, sf: str) -> DataFrame:
     max_df idea as the jaccard stop-shingle cap). Item frequencies
     join back via **broadcast** (part-dictionary-sized). Top-k plans
     as TakeOrderedAndProject."""
+    # Round-12 optimization (guide §2.4): the distinct item frame feeds
+    # FOUR plan references (order-count scalar, item frequencies, both
+    # self-join sides) — materialize once instead of re-running the
+    # fact scan + distinct per reference (8 parquet scans → 2)
     items = (
         table(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_orders = items.select("l_orderkey").distinct().count()  # one scalar
     freq = items.groupBy("l_partkey").agg(F.count("*").alias("item_n"))

@@ -71,7 +71,7 @@ def q_dedup_minhash_graded(spark: SparkSession, sf: str) -> DataFrame:
             F.min(_mh_hash(i, F.col("term"))).alias(f"h{i}")
             for i in range(MH_PERMS)
         ]
-    )
+    ).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -520,10 +520,19 @@ def q_dedup_minhash_jaccard_est(spark: SparkSession, sf: str) -> DataFrame:
     sample come from the SAME band-join shape as
     ``dedup_minhash_graded``."""
     d = table(spark, sf, "documents").filter(F.col("doc_id") < AUDIT_DOCS)
+    # Round-12 optimization (guide §2.4): the sample term stream (4
+    # plan references), signatures (3), sizes (2) and candidate pairs
+    # (2) are each sample-bounded (≤ AUDIT_DOCS docs) — materialize
+    # them once instead of replaying the tokenize/signature pipeline
+    # per reference (36 Exchanges / 20 parquet scans → 6 / 0)
     dt = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
+    ).localCheckpoint(eager=True)
+    sizes = (
+        dt.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .localCheckpoint(eager=True)
     )
-    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sig = dt.groupBy("doc_id").agg(
         *[
             F.min(_mh_hash(i, F.col("term"))).alias(f"h{i}")
@@ -561,6 +570,7 @@ def q_dedup_minhash_jaccard_est(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),

@@ -143,47 +143,61 @@ def q_events_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("y"))
         .localCheckpoint(eager=True)
     )
+    # Round-12 optimization (guide §2.1/§2.4): the scalar-moments
+    # aggregate is materialized once (it was replayed per lag branch)
+    # and the three per-lag self-joins collapse into ONE join — the
+    # a-side explodes each hour row into its |lags| shifted probes and
+    # a single lag-keyed aggregate yields every lag's exact integer
+    # sums. A literal lag spine left-join keeps zero-pair lags
+    # emitting the same (np=0, NULL acf) row the empty per-lag
+    # aggregate produced.
+    spark = ev.sparkSession
     scalars = hourly.agg(
         F.count(F.lit(1)).alias("nh"),
         F.sum("y").alias("s"),
         F.sum(F.col("y") * F.col("y")).alias("ss"),
+    ).localCheckpoint(eager=True)
+    lag_arr = F.array(*[F.lit(int(k)) for k in ACF_LAGS])
+    # shifted probe hour: h + lag hours (identical addition semantics
+    # to the former per-branch INTERVAL literal under the UTC session)
+    a_exp = hourly.select(
+        F.col("y").alias("y1"),
+        F.explode(lag_arr).alias("lag"),
+        F.col("h").alias("ah"),
+    ).withColumn(
+        "th", F.col("ah") + F.make_interval(hours=F.col("lag"))
     )
-    outs = []
-    for k in ACF_LAGS:
-        a = hourly.alias("a")
-        b = hourly.alias("b")
-        pairs = a.join(
-            b,
-            F.col("b.h")
-            == F.col("a.h") + F.expr(f"INTERVAL {k} HOURS"),
-        ).select(
-            F.col("a.y").alias("y1"), F.col("b.y").alias("y2")
-        )
-        psums = pairs.agg(
+    grouped = (
+        a_exp.join(hourly.alias("b"), F.col("b.h") == F.col("th"))
+        .groupBy("lag")
+        .agg(
             F.count(F.lit(1)).alias("np"),
-            F.sum(F.col("y1") * F.col("y2")).alias("a12"),
+            F.sum(F.col("y1") * F.col("y")).alias("a12"),
             F.sum("y1").alias("b1"),
-            F.sum("y2").alias("b2"),
+            F.sum("y").alias("b2"),
         )
-        j = psums.crossJoin(F.broadcast(scalars))
-        ybar = F.col("s").cast("double") / F.col("nh")
-        num = (
-            F.col("a12").cast("double")
-            - ybar * (F.col("b1") + F.col("b2")).cast("double")
-            + F.col("np").cast("double") * ybar * ybar
-        )
-        den = F.col("ss").cast("double") - F.col("nh").cast("double") * ybar * ybar
-        outs.append(
-            j.select(
-                F.lit(k).alias("lag"),
-                F.col("np").alias("n_pairs"),
-                F.round(F.when(den > 0, num / den), 6).alias("acf"),
-            )
-        )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionAll(o)
-    return res
+    )
+    spine = spark.range(1).select(F.explode(lag_arr).alias("lag"))
+    psums = spine.join(grouped, "lag", "left").select(
+        "lag",
+        F.coalesce("np", F.lit(0)).alias("np"),
+        "a12",
+        "b1",
+        "b2",
+    )
+    j = psums.crossJoin(F.broadcast(scalars))
+    ybar = F.col("s").cast("double") / F.col("nh")
+    num = (
+        F.col("a12").cast("double")
+        - ybar * (F.col("b1") + F.col("b2")).cast("double")
+        + F.col("np").cast("double") * ybar * ybar
+    )
+    den = F.col("ss").cast("double") - F.col("nh").cast("double") * ybar * ybar
+    return j.select(
+        "lag",
+        F.col("np").alias("n_pairs"),
+        F.round(F.when(den > 0, num / den), 6).alias("acf"),
+    )
 
 
 def _acf_oracle(lags: tuple[int, ...] = ACF_LAGS) -> str:
@@ -353,14 +367,25 @@ def q_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
         "b.prev", "b.cur"
     )
     tok = d.select(F.explode(ts).alias("term"))
-    c1 = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # Round-12 optimization (guide §2.2/§2.4): materialize the two
+    # vocabulary-sized count tables once and DERIVE the totals from
+    # them (utot = Σc over terms, btot = Σc12 over unfiltered pair
+    # types — exact integer identities), so each token stream is built
+    # once instead of per consumer (3 corpus tokenizations → 2; the
+    # remaining two are the distinct unigram/bigram streams).
+    c1 = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     u = c1.agg(F.sum("c").alias("utot"))
-    c2 = (
+    c2all = (
         pairs.groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .filter(F.col("c12") >= PMI_MIN_COUNT)
+        .localCheckpoint(eager=True)
     )
-    btot = pairs.agg(F.count(F.lit(1)).alias("btot"))
+    c2 = c2all.filter(F.col("c12") >= PMI_MIN_COUNT)
+    btot = c2all.agg(F.sum("c12").alias("btot"))
     scored = (
         c2.join(
             F.broadcast(c1.select(F.col("term").alias("prev"), F.col("c").alias("cp"))),

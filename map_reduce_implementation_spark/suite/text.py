@@ -427,8 +427,18 @@ def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
         d.select("doc_id", F.explode(pair_structs).alias("b"))
         .select("doc_id", "b.prev", "b.cur")
     )
-    c2 = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    # Round-12 optimization (guide §2.2/§2.4, the kneser_ney recipe):
+    # the bigram-type table is materialized once and the context
+    # counts derived from IT (sum of n2 over cur == count of pairs
+    # with that prev, exact integers) — the corpus is tokenized for
+    # the model once instead of twice, and the scoring join-back is
+    # the only second pass.
+    c2 = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
     return (
         pairs.join(F.broadcast(c2), ["prev", "cur"])
         .join(F.broadcast(c1), ["prev"])

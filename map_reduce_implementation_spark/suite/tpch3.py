@@ -325,9 +325,12 @@ def q_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     )
+    # Round-12 optimization (guide §2.4): the (part, supplier) cells
+    # feed the totals rollup AND the dominance join-back — materialize
+    # once instead of replaying the filtered fact scan per consumer
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(dec("l_quantity")).alias("q")
-    )
+    ).localCheckpoint(eager=True)
     totals = ps.groupBy("l_partkey").agg(F.sum("q").alias("part_total"))
     dominant = (
         ps.join(F.broadcast(totals), "l_partkey")

@@ -60,11 +60,16 @@ def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     # SF (200k·SF / 10k·SF rows), and F.broadcast is honored regardless
     # of size — AQE still picks broadcast at runtime while they fit;
     # only the fixed-size nation/region dims are hinted above
+    # Round-12 optimization (guide §2.4): the (part, supplier) cost
+    # cells feed the per-part min AND the equality join-back —
+    # materialize once instead of replaying the two fact joins per
+    # consumer (20 parquet scans → 10 in the captured plan)
     cost = (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(dec("l_extendedprice")).alias("cost_dec"))
+        .localCheckpoint(eager=True)
     )
     best = cost.groupBy(F.col("p_partkey").alias("mk")).agg(
         F.min("cost_dec").alias("min_cost")

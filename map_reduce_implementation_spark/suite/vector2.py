@@ -461,35 +461,55 @@ def q_similarity_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
 
-    def topk_at(d: int) -> DataFrame:
+    # Round-12 optimization (guide §2.1/§2.2): ALL prefix similarities
+    # come from ONE column-pruned corpus scan — each row emits a
+    # (dim, sim) struct per prefix and the per-dim top-{TOP_K} is a
+    # dim-partitioned rank window (WindowGroupLimit keeps ≤ K rows per
+    # dim per map task before the exchange). Replaces |dims| separate
+    # scan + TakeOrderedAndProject branches (4 scans → 1). The sets
+    # are IDENTICAL: same per-prefix fold/ROUND(·,9) sims, and
+    # row_number over (sim DESC, vec_id ASC) ≤ K selects exactly what
+    # the deterministic orderBy+limit did (vec_id is unique, so the
+    # order is total).
+    from pyspark.sql import Window
+
+    def sim_at(d: int):
         v = F.slice(_as_double("embedding"), 1, d)
         q = F.slice(_as_double(lit_vector(qv)), 1, d)
-        sim = F.round(dot(v, q) / (norm(v) * norm(q)), 9)
-        return (
-            e.filter(F.col("vec_id") != QUERY_VEC_ID)
-            .select("vec_id", sim.alias("sim"))
-            .orderBy(F.desc("sim"), F.asc("vec_id"))
-            .limit(TOP_K)
-            .select("vec_id")
-        )
+        return F.round(dot(v, q) / (norm(v) * norm(q)), 9)
 
-    full = topk_at(max(MRL_DIMS)).localCheckpoint(eager=True)  # TOP_K rows
-    parts = []
-    for d in MRL_DIMS:
-        hits = topk_at(d).join(full, "vec_id").agg(
-            F.count("*").alias("hits")
-        )
-        parts.append(
-            hits.select(
-                F.lit(d).cast("int").alias("dim"),
-                "hits",
-                (F.col("hits").cast("double") / TOP_K).alias("recall_at_k"),
+    sims = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("dim"),
+                        sim_at(d).alias("sim"),
+                    )
+                    for d in MRL_DIMS
+                ]
             )
+        ).alias("s"),
+    ).select("vec_id", "s.dim", "s.sim")
+    w = Window.partitionBy("dim").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ranked = (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("dim", "vec_id")
+        .localCheckpoint(eager=True)  # |dims|·TOP_K rows, read twice
+    )
+    full = ranked.filter(F.col("dim") == max(MRL_DIMS)).select("vec_id")
+    return (
+        ranked.join(full.withColumn("hit", F.lit(1)), "vec_id", "left")
+        .groupBy("dim")
+        .agg(F.count("hit").alias("hits"))
+        .select(
+            "dim",
+            "hits",
+            (F.col("hits").cast("double") / TOP_K).alias("recall_at_k"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 def _mrl_oracle() -> str:
