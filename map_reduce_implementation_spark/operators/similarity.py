@@ -87,10 +87,15 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact_scan: bool = False,
+    emit_block: bool = False,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, optionally blocked on a key
     (e.g. a label or an LSH bucket) so the join is never a full cross
-    product. Returns DataFrame[id1, id2, sim].
+    product. Returns DataFrame[id1, id2, sim] — with ``emit_block=True``
+    (blocked mode only) DataFrame[id1, id2, <block_col>, sim], sparing
+    consumers that need the pair's block a join back onto the corpus
+    (both sides of a pair share the block by construction; round 12,
+    guide §2.4 — the knn_join passthrough precedent).
 
     Plan (blocked, default): **sketch-then-verify.** Candidates come
     from a per-block numpy gemm (Arrow-batched ``applyInPandas``; one
@@ -155,6 +160,8 @@ def cosine_pairs(
             empty = pd.DataFrame(
                 {"id1": pdf[id_col].iloc[:0], "id2": pdf[id_col].iloc[:0]}
             )
+            if emit_block:
+                empty[block_col] = pdf[block_col].iloc[:0]
             keep = pdf[vec_col].notna().to_numpy()
             if keep.sum() < 2:
                 return empty
@@ -198,11 +205,23 @@ def cosine_pairs(
             # once per duplicate ROW — drop to one; the verify join
             # then multiplies by row multiplicity exactly as the
             # exact scan's join does
-            return pd.concat(frames, ignore_index=True).drop_duplicates()
+            out = pd.concat(frames, ignore_index=True).drop_duplicates()
+            if emit_block:
+                # the group key is constant within the pdf — stamp it on
+                # every candidate so consumers skip the corpus join-back
+                out[block_col] = (
+                    pdf[block_col].iloc[0] if len(out) else pdf[block_col].iloc[:0]
+                )
+            return out
 
         id_type = embeddings.schema[id_col].dataType
         cand_schema = StructType(
             [StructField("id1", id_type), StructField("id2", id_type)]
+            + (
+                [StructField(block_col, embeddings.schema[block_col].dataType)]
+                if emit_block
+                else []
+            )
         )
         # NULL block keys / ids never pair in the exact scan (its
         # blk == blk2 and id1 < id2 predicates are not null-safe)
@@ -213,19 +232,23 @@ def cosine_pairs(
             .groupBy(block_col)
             .applyInPandas(_candidates, cand_schema)
         )
+        out_cols = ["id1", "id2"] + ([block_col] if emit_block else [])
         return (
             cand.join(x.drop("blk"), "id1")
             .join(y.drop("blk2"), "id2")
             .filter(raw_sim >= threshold)
-            .select("id1", "id2", sim_expr)
+            .select(*out_cols, sim_expr)
         )
     cond = F.col("id1") < F.col("id2")
     if block_col:
         cond = cond & (F.col("blk") == F.col("blk2"))
+    out_cols = ["id1", "id2"] + (
+        [F.col("blk").alias(block_col)] if (emit_block and block_col) else []
+    )
     return (
         x.join(y, cond)
         .filter(raw_sim >= threshold)
-        .select("id1", "id2", sim_expr)
+        .select(*out_cols, sim_expr)
     )
 
 

@@ -353,52 +353,35 @@ def q_decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
     |eval| sequential-fold cosines per row (exact, the proven
     list-fold == F.aggregate recipe), a vec-keyed max, then a label
     rollup. Candidate volume is n·|eval| — linear in the corpus."""
-    from ..operators.similarity import lit_vector
-
     e = table(spark, sf, "embeddings")
-    # Round-12 optimization (guide §2.1/§2.2): the {DECON_EVAL_N}-row
-    # eval set rides into the scan as PLAN LITERALS (the ivf_assign /
-    # coreset recipe — a bounded k×dim collect), so the per-vector max
-    # is an array expression over one corpus scan and the only shuffle
-    # left is the label rollup. Before: broadcast crossJoin exploded
-    # n·|eval| rows through a vec-keyed max shuffle (2 Exchanges + the
-    # explode). Arithmetic per (train, eval) pair is the IDENTICAL
-    # sequential fold expression; max over the 32 sims is exact either
-    # way (float max is order-independent).
-    evs = [
-        [float(x) for x in r["embedding"]]
-        for r in e.filter(F.col("vec_id") < DECON_EVAL_N)
-        .select("embedding")
-        .collect()
-    ]
-    tr = e.filter(F.col("vec_id") >= DECON_EVAL_N).select(
-        "label", _as_double("embedding").alias("v")
+    ev = (
+        e.filter(F.col("vec_id") < DECON_EVAL_N)
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            _as_double("embedding").alias("qv"),
+        )
     )
-    if not evs:  # no eval vectors → no sims → empty report (as before)
-        return tr.groupBy("label").agg(
-            F.count(F.lit(1)).alias("n_train"),
-            F.lit(0).cast("long").alias("n_flagged"),
-            F.lit(None).cast("double").alias("hottest_sim"),
-        ).limit(0)
-    dot = lambda q: F.aggregate(  # noqa: E731
-        F.zip_with("v", _as_double(lit_vector(q)), lambda a, b: a * b),
+    tr = e.filter(F.col("vec_id") >= DECON_EVAL_N).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     nrm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    max_sim = F.array_max(
-        F.array(
-            *[
-                dot(q) / (nrm(F.col("v")) * nrm(_as_double(lit_vector(q))))
-                for q in evs
-            ]
-        )
+    sims = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "label",
+        (dot / (nrm(F.col("v")) * nrm(F.col("qv")))).alias("sim"),
+    )
+    per_vec = sims.groupBy("vec_id", "label").agg(
+        F.max("sim").alias("max_sim")
     )
     return (
-        tr.select("label", max_sim.alias("max_sim"))
-        .groupBy("label")
+        per_vec.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_train"),
             F.count(

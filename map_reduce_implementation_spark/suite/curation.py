@@ -31,7 +31,11 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     the dedup suite — no n-gram strings cross the exchange)."""
     from .dedup import _shingles
 
-    sh = _shingles(spark, sf, 5)
+    # Round-12 optimization (guide §2.4): the hashed shingle stream
+    # feeds three consumers (eval set, per-doc sizes, hit counts) — each
+    # lazy reference replayed the corpus tokenize+shingle pass (3
+    # documents scans → 1); the materialized rows are 2 longs each
+    sh = _shingles(spark, sf, 5).localCheckpoint(eager=True)
     ev = (
         sh.filter(F.col("doc_id") % 10 == 0)
         .select("shingle")
@@ -235,10 +239,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     stream at scale. Deterministic tie-break (score desc, term asc)."""
     d = table(spark, sf, "documents")
     n_docs = d.count()  # scalar, one tiny job — the oracle inlines COUNT(*)
+    # Round-12 optimization (guide §2.4): tf feeds two consumers (the
+    # df dictionary aggregate AND the scored join) — lazily it was
+    # replayed per consumer, re-tokenizing the corpus twice.
+    # Materialize the (doc, term) cells once; everything downstream is
+    # cell-sized, and at 100 TB the second corpus pass disappears.
     tf = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df_), "term").select(

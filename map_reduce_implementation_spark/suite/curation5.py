@@ -158,7 +158,10 @@ def q_decontaminate_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     tr_docs = d.filter(F.col("doc_id") % EVAL_MOD != 0)
-    tr_sh = _shingles_of(tr_docs, OVERLAP_NGRAM)
+    # Round-12 optimization (guide §2.4): the training shingle stream
+    # feeds two consumers (per-doc counts + the semi-join hit counts);
+    # lazily each replayed the tokenize+shingle pass over the corpus.
+    tr_sh = _shingles_of(tr_docs, OVERLAP_NGRAM).localCheckpoint(eager=True)
     counts = tr_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hits = (
         tr_sh.join(ev, "shingle", "left_semi")

@@ -458,7 +458,13 @@ def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
         .select("p.d1", "p.d2")
         .distinct()
     )
-    pref = aug.select("doc_id", F.substring("text", 1, 96).alias("prefix"))
+    # Round-12 optimization (guide §2.4): pref is referenced by BOTH
+    # verify-join sides, and each lazy reference replayed the 2-branch
+    # augmented-union corpus scan — materialize the narrow (id, 96-char
+    # prefix) frame once (6 documents scans → 4)
+    pref = aug.select(
+        "doc_id", F.substring("text", 1, 96).alias("prefix")
+    ).localCheckpoint(eager=True)
     pa, pb = pref.alias("pa"), pref.alias("pb")
     lev = F.levenshtein(F.col("pa.prefix"), F.col("pb.prefix"), 24)
     return (

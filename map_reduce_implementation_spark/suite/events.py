@@ -477,7 +477,13 @@ def q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("day"),
         dec("value").alias("v"),
     )
-    cohort = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # Round-12 optimization (guide §2.4): cohort feeds two consumers
+    # (the cells join + sizes) — lazily each replayed the event-stream
+    # scan + user aggregate; materialize the user-sized frame once
+    # (3 events scans → 2, the first-activity pass + the offsets pass)
+    cohort = acts.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    ).localCheckpoint(eager=True)
     cells = (
         acts.join(cohort, "user_id")
         .groupBy(
@@ -928,10 +934,15 @@ def q_conversion_lag(spark: SparkSession, sf: str) -> DataFrame:
     real scale swap exact `percentile` for `approx_percentile` (the
     documented RFM trade)."""
     ev = table(spark, sf, "events")
+    # Round-12 optimization (guide §2.4): v feeds two consumers (the
+    # conversion join + the left join to base) — materialize the
+    # user-sized first-view frame once instead of replaying the event
+    # scan + aggregate per consumer (3 events scans → 2)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min(F.unix_micros("ts")).alias("v_us"))
+        .localCheckpoint(eager=True)
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.unix_micros("ts").alias("p_ts")

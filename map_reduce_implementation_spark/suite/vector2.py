@@ -85,6 +85,9 @@ def q_ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("m", "sv"),
     )
+    # Round-12 optimization (guide §2.4): the {PQ_K}×{PQ_M}-row codebook
+    # feeds TWO broadcasts (assignment + the ADC LUT) — materialize the
+    # tiny frame once instead of replaying its corpus scan per consumer
     cb = (
         sub.filter(F.col("vec_id") < PQ_K)
         .select(
@@ -92,6 +95,7 @@ def q_ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
             F.col("m").alias("cm"),
             F.col("sv").alias("cw"),
         )
+        .localCheckpoint(eager=True)
     )
     assign = (
         sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
@@ -371,16 +375,38 @@ def q_similarity_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("v").alias("qv"),
     )
     c = e.filter(F.col("vec_id") >= nq)
+    # Round-12 optimization (guide §2.1/§2.4): the per-token max and the
+    # per-doc sum were two stacked aggregates — the first shuffled on
+    # (q_mdoc, q_id, c_mdoc), whose partitioning the second cannot
+    # reuse, so the (candidate × token) stream crossed TWO exchanges.
+    # q_id is determined by (q_mdoc, token-slot) — q_id = q_mdoc·4 + k —
+    # so one (q_mdoc, c_mdoc) aggregate with {MS_GROUP} conditional
+    # maxes computes the identical cells in ONE map-side-combined pass:
+    # per slot k, floor(MAX(s | tok=k)·1e9+0.5) is the same b the inner
+    # groupBy produced, and SUM(b)-ignores-NULLs is reproduced by
+    # summing COALESCE(b_k, 0) with an all-NULL guard (SUM over an
+    # all-NULL group is NULL, not 0).
     sims = c.join(F.broadcast(q)).select(
         "q_mdoc",
-        "q_id",
+        (F.col("q_id") - F.col("q_mdoc") * MS_GROUP).alias("tok"),
         F.col("mdoc").alias("c_mdoc"),
         F.round(cosine(F.col("qv"), F.col("v")), 9).alias("s"),
     )
-    best = sims.groupBy("q_mdoc", "q_id", "c_mdoc").agg(
-        F.floor(F.max("s") * 1e9 + 0.5).cast("long").alias("b")
+    bs = [
+        F.floor(
+            F.max(F.when(F.col("tok") == k, F.col("s"))) * 1e9 + 0.5
+        ).cast("long")
+        for k in range(MS_GROUP)
+    ]
+    all_null = bs[0].isNull() & bs[1].isNull()
+    for b in bs[2:]:
+        all_null = all_null & b.isNull()
+    total = F.coalesce(bs[0], F.lit(0))
+    for b in bs[1:]:
+        total = total + F.coalesce(b, F.lit(0))
+    score = sims.groupBy("q_mdoc", "c_mdoc").agg(
+        F.when(all_null, F.lit(None).cast("long")).otherwise(total).alias("sq")
     )
-    score = best.groupBy("q_mdoc", "c_mdoc").agg(F.sum("b").alias("sq"))
     w = Window.partitionBy("q_mdoc").orderBy(F.col("sq").desc(), F.col("c_mdoc"))
     return (
         score.withColumn("rank", F.row_number().over(w))
