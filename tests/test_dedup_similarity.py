@@ -437,3 +437,45 @@ def test_cosine_pairs_threshold_on_unrounded_fold(spark):
     for kw in ({}, {"exact_scan": True}):
         got = cosine_pairs(df2, 1.0, block_col="label", **kw).collect()
         assert [(r.id1, r.id2, r.sim) for r in got] == [(1, 2, 1.0)]
+
+
+def test_cosine_pairs_emit_block_passthrough(spark):
+    """Round-12 ``emit_block`` contract: with it on, each pair carries
+    its blocking key as a column — identical (id1, id2, sim) set as the
+    default output, same value on both the gemm and exact-scan paths,
+    correct block per pair, and the empty-block early return (singleton
+    block) must still produce the extra column. Default-off output is
+    unchanged (the pre-round three-column schema)."""
+    import math
+
+    from map_reduce_implementation_spark.operators.similarity import cosine_pairs
+
+    a = math.radians(30.0)
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [math.cos(a), math.sin(a)], 0),   # pairs with 1 in block 0
+        (3, [1.0, 0.0], 2),
+        (4, [1.0, 0.0], 2),                    # identical pair in block 2
+        (9, [0.0, 1.0], 7),                    # singleton block: no pairs
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    base = cosine_pairs(df, 0.5, block_col="label")
+    assert base.columns == ["id1", "id2", "sim"]  # default unchanged
+    tagged = cosine_pairs(df, 0.5, block_col="label", emit_block=True)
+    assert tagged.columns == ["id1", "id2", "label", "sim"]
+    got = sorted(map(tuple, tagged.collect()))
+    assert [(i, j, s) for i, j, _l, s in got] == sorted(
+        map(tuple, base.collect())
+    )
+    assert [(i, j, l) for i, j, l, _s in got] == [(1, 2, 0), (3, 4, 2)]
+    exact = sorted(
+        map(
+            tuple,
+            cosine_pairs(
+                df, 0.5, block_col="label", emit_block=True, exact_scan=True
+            ).collect(),
+        )
+    )
+    assert exact == got
