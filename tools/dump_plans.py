@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Dump ``explain("formatted")`` for named suite queries to files.
 
-Round-12 optimization evidence: plans/r12/<query>_<tag>.txt per query.
+Optimization-round evidence: plans/<round>/<query>_<tag>.txt per query
+(round dir from $SPARK_GRAFT_PLAN_ROUND, default r13).
 
 Usage:
     python tools/dump_plans.py <tag> <query> [query ...]
@@ -16,7 +17,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-OUT_DIR = os.path.join(REPO, "plans", "r12")
+ROUND = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
+OUT_DIR = os.path.join(REPO, "plans", ROUND)
 
 
 def main() -> int:
@@ -37,14 +39,14 @@ def main() -> int:
             continue
         try:
             df = q.build(spark, SF_DIR)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            from scan_audit import formatted_plan
+
+            plan = formatted_plan(df)
         except Exception as exc:  # noqa: BLE001
             plan = f"ERROR: {exc}"
         with open(os.path.join(OUT_DIR, f"{name}_{tag}.txt"), "w") as fh:
             fh.write(plan)
-        print(f"wrote plans/r12/{name}_{tag}.txt", flush=True)
+        print(f"wrote plans/{ROUND}/{name}_{tag}.txt", flush=True)
     spark.stop()
     return 0
 

@@ -19,6 +19,8 @@ Output: one JSON line per query:
 
 from __future__ import annotations
 
+import contextlib
+import io
 import json
 import os
 import re
@@ -28,8 +30,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-_SCAN_RE = re.compile(r"Scan parquet[^\n]*")
 _TABLE_RE = re.compile(r"file:[^\]\s,]*/(\w+)\.parquet")
+
+
+def formatted_plan(df) -> str:
+    """``explain("formatted")`` output via the documented API (ADVICE
+    r12: the previous ``df._sc._jvm.PythonSQLUtils.explainString`` call
+    reached through private internals and is version-fragile)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
 
 
 def audit_plan(plan: str) -> dict:
@@ -84,9 +95,7 @@ def main() -> int:
             continue
         try:
             df = q.build(spark, SF_DIR)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            plan = formatted_plan(df)
             row = {"query": name}
             row.update(audit_plan(plan))
             print(json.dumps(row))
