@@ -52,7 +52,44 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = 128) -> DataFrame:
     )
 
 
-def minhash_signatures_arrow(shingles: DataFrame, num_perm: int = 128) -> DataFrame:
+def _np_murmur3_long(x, h1):
+    """Bit-exact numpy port of Spark's ``Murmur3_x86_32.hashLong``
+    (the kernel behind ``F.hash`` on BIGINT): the long is mixed as two
+    32-bit halves, then finalized with ``fmix(h1, 8)``. ``x`` is a
+    uint64 array, ``h1`` a uint32 array/scalar seed; returns uint32.
+    All arithmetic wraps in uint32 exactly as the JVM int ops do.
+    Pinned bit-equal to ``F.hash`` in tests/test_dedup_similarity.py.
+    """
+    import numpy as np
+
+    C1 = np.uint32(0xCC9E2D51)
+    C2 = np.uint32(0x1B873593)
+
+    def mix_k1(k1):
+        k1 = (k1 * C1).astype(np.uint32)
+        k1 = ((k1 << np.uint32(15)) | (k1 >> np.uint32(17))).astype(np.uint32)
+        return (k1 * C2).astype(np.uint32)
+
+    def mix_h1(h1, k1):
+        h1 = (h1 ^ k1).astype(np.uint32)
+        h1 = ((h1 << np.uint32(13)) | (h1 >> np.uint32(19))).astype(np.uint32)
+        return (h1 * np.uint32(5) + np.uint32(0xE6546B64)).astype(np.uint32)
+
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    h1 = mix_h1(mix_h1(np.asarray(h1, np.uint32), mix_k1(lo)), mix_k1(hi))
+    # fmix(h1, 8): 8 bytes were hashed
+    h1 = (h1 ^ np.uint32(8)).astype(np.uint32)
+    h1 = (h1 ^ (h1 >> np.uint32(16))).astype(np.uint32)
+    h1 = (h1 * np.uint32(0x85EBCA6B)).astype(np.uint32)
+    h1 = (h1 ^ (h1 >> np.uint32(13))).astype(np.uint32)
+    h1 = (h1 * np.uint32(0xC2B2AE35)).astype(np.uint32)
+    return (h1 ^ (h1 >> np.uint32(16))).astype(np.uint32)
+
+
+def minhash_signatures_arrow(
+    shingles: DataFrame, num_perm: int = 128, bands: int | None = None
+) -> DataFrame:
     """Bit-identical to :func:`minhash_signatures` (same murmur h1/h2 +
     KM permutations) but the 128 per-doc minima are computed vectorized
     in numpy instead of 128 JVM aggregate buffers — measured ~4× faster
@@ -61,13 +98,29 @@ def minhash_signatures_arrow(shingles: DataFrame, num_perm: int = 128) -> DataFr
 
     Shape: murmurs stay JVM-side; one shuffle partitions by doc_id so
     every doc's shingles land in one partition; ``mapInArrow`` computes
-    per-batch group minima (bounded memory: batch_rows × num_perm × 8 B)
-    and folds batches with a final pandas groupby-min per partition.
-    Output rows = one per doc — no further aggregation needed.
+    per-batch group minima via sort + ``np.minimum.reduceat`` (round 13
+    — the previous per-batch 65k×129 pandas frame + groupby allocated
+    and sorted twice per batch; the reduceat fold works in place on the
+    permutation matrix) and folds batch partials the same way. Output
+    rows = one per doc — no further aggregation needed.
+
+    ``bands`` (round 13): when set, also emit ``bands: array<int>`` —
+    the per-band LSH bucket ids, bit-equal to
+    ``F.hash(F.slice("sig", b*rows+1, rows))`` (the exact numpy port of
+    Spark's Murmur3 long fold, seed 42), computed vectorized while the
+    signature matrix is already in hand. The JVM evaluation of those 32
+    slice+hash expressions is interpreted (no codegen for HOF-style
+    array work) and measured 0.95 s per pass at the 10× bench point —
+    and the LSH self-join evaluates it TWICE. At 100 TB the banding
+    pass is corpus-sized, so removing 2× interpreted array hashing per
+    doc matters as much as it does locally.
     """
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
+
+    if bands is not None and num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands if bands else 0
 
     mask = F.lit(0xFFFFFFFF)
     hashed = shingles.select(
@@ -76,31 +129,68 @@ def minhash_signatures_arrow(shingles: DataFrame, num_perm: int = 128) -> DataFr
         F.hash("shingle", F.lit(1)).cast("long").bitwiseAND(mask).alias("h2"),
     ).repartition("doc_id")
 
+    schema = "doc_id long, sig array<bigint>" + (
+        ", bands array<int>" if bands else ""
+    )
+
+    def _group_minima(doc, perms):
+        """(doc ids, per-doc minima) via sort + reduceat — one group
+        row per distinct doc, min over the group's permutation rows."""
+        order = np.argsort(doc, kind="stable")
+        d_s = doc[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        return d_s[starts], np.minimum.reduceat(perms[order], starts, axis=0)
+
     def part_minima(it):
         P = np.arange(num_perm, dtype=np.int64)
-        partials: list[pd.DataFrame] = []
+        docs_parts: list[np.ndarray] = []
+        mins_parts: list[np.ndarray] = []
         for batch in it:
-            pdf = batch.to_pandas()
-            if pdf.empty:
+            if batch.num_rows == 0:
                 continue
-            h1 = pdf["h1"].to_numpy(np.int64)
-            h2 = pdf["h2"].to_numpy(np.int64)
+            doc = batch.column(0).to_numpy(zero_copy_only=False)
+            h1 = batch.column(1).to_numpy(zero_copy_only=False)
+            h2 = batch.column(2).to_numpy(zero_copy_only=False)
             perms = (h1[:, None] + P[None, :] * h2[:, None]) & 0xFFFFFFFF
-            g = pd.DataFrame(perms)
-            g["doc_id"] = pdf["doc_id"].to_numpy()
-            partials.append(g.groupby("doc_id", sort=False).min())
-        if not partials:
+            d, m = _group_minima(doc, perms)
+            docs_parts.append(d)
+            mins_parts.append(m)
+        if not docs_parts:
             return
-        mins = pd.concat(partials).groupby(level=0, sort=False).min()
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(mins.index.to_numpy(np.int64)),
-                pa.array(list(mins.to_numpy(np.int64))),
-            ],
-            ["doc_id", "sig"],
+        doc_all, mins_all = _group_minima(
+            np.concatenate(docs_parts), np.vstack(mins_parts)
         )
+        n = len(doc_all)
+        arrays = [
+            pa.array(doc_all),
+            pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)
+                ),
+                pa.array(mins_all.ravel()),
+            ),
+        ]
+        names = ["doc_id", "sig"]
+        if bands:
+            vals = mins_all.view(np.uint64)
+            buckets = np.empty((n, bands), dtype=np.uint32)
+            for b in range(bands):
+                h = np.full(n, 42, dtype=np.uint32)  # F.hash seed
+                for j in range(rows_per_band):
+                    h = _np_murmur3_long(vals[:, b * rows_per_band + j], h)
+                buckets[:, b] = h
+            arrays.append(
+                pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (n + 1) * bands, bands, dtype=np.int32)
+                    ),
+                    pa.array(buckets.view(np.int32).ravel()),
+                )
+            )
+            names.append("bands")
+        yield pa.RecordBatch.from_arrays(arrays, names)
 
-    return hashed.mapInArrow(part_minima, "doc_id long, sig array<bigint>")
+    return hashed.mapInArrow(part_minima, schema)
 
 
 def minhash_lsh_pairs(
@@ -134,22 +224,16 @@ def minhash_lsh_pairs(
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    rows_per_band = num_perm // bands
-    sig = minhash_signatures_arrow(shingles, num_perm).cache()
+    sig = minhash_signatures_arrow(shingles, num_perm, bands=bands).cache()
 
     # band bucket = murmur3 over the band's signature slice hashed AS AN
-    # ARRAY — no string materialization (measured 2.3× vs concat_ws)
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    # ARRAY — no string materialization (measured 2.3× vs concat_ws).
+    # Round 13: the 32 slice+hash expressions are computed ONCE inside
+    # the Arrow signature kernel (bit-equal numpy murmur3 port — see
+    # minhash_signatures_arrow) instead of interpreted JVM evaluation
+    # per join side: 0.95 s/pass × 2 sides at the 10× point, and a
+    # corpus-sized double pass at 100 TB.
+    banded = sig.select("doc_id", F.posexplode("bands").alias("band", "bucket"))
     cand = (
         banded.alias("x")
         .join(
@@ -161,8 +245,10 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
     )
-    sx = sig.alias("sx")
-    sy = sig.alias("sy")
+    # est re-joins carry only (doc_id, sig) — the bands column stays out
+    # of the pair-keyed exchanges (guide §2.3: project before the join)
+    sx = sig.select("doc_id", "sig").alias("sx")
+    sy = sig.select("doc_id", "sig").alias("sy")
     est = (
         cand.join(sx, F.col("d1") == F.col("sx.doc_id"))
         .join(sy, F.col("d2") == F.col("sy.doc_id"))
@@ -390,7 +476,6 @@ def simhash_arrow(
     per-batch ±1 bit matrices fold via pandas groupby-sum.
     """
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
 
     toks = df.select(
@@ -401,25 +486,37 @@ def simhash_arrow(
     ).select("doc_id", F.xxhash64("tok").alias("h"))
     part = toks.repartition("doc_id")
 
+    def _group_sums(doc, bits):
+        """(doc ids, per-doc vote sums) via sort + reduceat (round 13 —
+        same rewrite as the minhash kernel: the per-batch pandas frame
+        + groupby allocated and sorted the 65k×65 matrix twice)."""
+        order = np.argsort(doc, kind="stable")
+        d_s = doc[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        return d_s[starts], np.add.reduceat(bits[order], starts, axis=0)
+
     def fold(it):
         shifts = np.arange(64, dtype=np.uint64)
-        partials: list[pd.DataFrame] = []
+        docs_parts: list[np.ndarray] = []
+        sums_parts: list[np.ndarray] = []
         for batch in it:
-            pdf = batch.to_pandas()
-            if pdf.empty:
+            if batch.num_rows == 0:
                 continue
-            h = pdf["h"].to_numpy(np.int64).view(np.uint64)
-            bits = (((h[:, None] >> shifts[None, :]) & 1).astype(np.int32) * 2) - 1
-            g = pd.DataFrame(bits)
-            g["doc_id"] = pdf["doc_id"].to_numpy()
-            partials.append(g.groupby("doc_id", sort=False).sum())
-        if not partials:
+            doc = batch.column(0).to_numpy(zero_copy_only=False)
+            h = batch.column(1).to_numpy(zero_copy_only=False).view(np.uint64)
+            bits = (((h[:, None] >> shifts[None, :]) & 1).astype(np.int64) * 2) - 1
+            d, s = _group_sums(doc, bits)
+            docs_parts.append(d)
+            sums_parts.append(s)
+        if not docs_parts:
             return
-        sums = pd.concat(partials).groupby(level=0).sum()
-        pos = (sums.to_numpy() > 0).astype(np.uint64)
+        doc_all, sums = _group_sums(
+            np.concatenate(docs_parts), np.vstack(sums_parts)
+        )
+        pos = (sums > 0).astype(np.uint64)
         fp = (pos * (np.uint64(1) << shifts)).sum(axis=1, dtype=np.uint64).view(np.int64)
         yield pa.RecordBatch.from_arrays(
-            [pa.array(sums.index.to_numpy(np.int64)), pa.array(fp)],
+            [pa.array(doc_all), pa.array(fp)],
             ["doc_id", "simhash"],
         )
 

@@ -479,3 +479,39 @@ def test_cosine_pairs_emit_block_passthrough(spark):
         )
     )
     assert exact == got
+
+
+def test_minhash_arrow_bands_match_jvm_hash(spark):
+    """Round-13 optimization tripwire: the Arrow signature kernel's
+    in-kernel band buckets (numpy murmur3 port, seed 42) must be
+    bit-equal to the JVM expression they replaced —
+    ``F.hash(F.slice("sig", b*rows+1, rows))`` — and the signatures
+    themselves bit-equal to the pure-JVM 128-aggregate formulation, so
+    dedup_minhash_lsh's candidate set is unchanged by construction."""
+    from map_reduce_implementation_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_arrow,
+    )
+    from map_reduce_implementation_spark.suite.dedup import _shingles
+
+    sh = _shingles(spark, SF001, 5)
+    arrow = {
+        r.doc_id: (list(r.sig), list(r.bands))
+        for r in minhash_signatures_arrow(sh, 128, bands=32).collect()
+    }
+    jvm_sig = {
+        r.doc_id: list(r.sig) for r in minhash_signatures(sh, 128).collect()
+    }
+    assert {d: s for d, (s, _) in arrow.items()} == jvm_sig
+    # JVM band hashes over the ARROW sig frame (same slices, same seed)
+    sig_df = minhash_signatures_arrow(sh, 128)
+    jvm_bands = {
+        r.doc_id: list(r.b)
+        for r in sig_df.select(
+            "doc_id",
+            F.array(
+                *[F.hash(F.slice("sig", b * 4 + 1, 4)) for b in range(32)]
+            ).alias("b"),
+        ).collect()
+    }
+    assert {d: b for d, (_, b) in arrow.items()} == jvm_bands
